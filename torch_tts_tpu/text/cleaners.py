@@ -1,0 +1,109 @@
+"""Text cleaners (equivalents of /root/reference/vits2/text/cleaners.py).
+
+Pure-Python normalization pipelines selectable by name. Cleaners that depend
+on optional packages degrade explicitly:
+- `unidecode` is not in this image, so ASCII transliteration falls back to a
+  Unicode-NFKD + combining-mark-strip pass (covers Latin-script diacritics,
+  which is what LJSpeech/VCTK need).
+- espeak phonemization (`english_cleaners*`) raises a clear error when the
+  `phonemizer` package is absent rather than failing deep inside.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+_whitespace_re = re.compile(r"\s+")
+
+# Abbreviation expansion pairs used by keithito-style English cleaners.
+_abbreviations = [
+    (re.compile(r"\b%s\." % abbr, re.IGNORECASE), full)
+    for abbr, full in [
+        ("mrs", "misess"),
+        ("mr", "mister"),
+        ("dr", "doctor"),
+        ("st", "saint"),
+        ("co", "company"),
+        ("jr", "junior"),
+        ("maj", "major"),
+        ("gen", "general"),
+        ("drs", "doctors"),
+        ("rev", "reverend"),
+        ("lt", "lieutenant"),
+        ("hon", "honorable"),
+        ("sgt", "sergeant"),
+        ("capt", "captain"),
+        ("esq", "esquire"),
+        ("ltd", "limited"),
+        ("col", "colonel"),
+        ("ft", "fort"),
+    ]
+]
+
+
+def expand_abbreviations(text: str) -> str:
+    for regex, replacement in _abbreviations:
+        text = regex.sub(replacement, text)
+    return text
+
+
+def lowercase(text: str) -> str:
+    return text.lower()
+
+
+def collapse_whitespace(text: str) -> str:
+    return _whitespace_re.sub(" ", text)
+
+
+def convert_to_ascii(text: str) -> str:
+    """ASCII transliteration. Uses unidecode when available, else NFKD fold."""
+    try:
+        from unidecode import unidecode  # pragma: no cover - not in this image
+
+        return unidecode(text)
+    except ImportError:
+        decomposed = unicodedata.normalize("NFKD", text)
+        return "".join(c for c in decomposed if ord(c) < 128)
+
+
+def basic_cleaners(text: str) -> str:
+    """Lowercase + collapse whitespace, no transliteration."""
+    return collapse_whitespace(lowercase(text))
+
+
+def transliteration_cleaners(text: str) -> str:
+    """ASCII transliteration + lowercase + collapse whitespace."""
+    return collapse_whitespace(lowercase(convert_to_ascii(text)))
+
+
+def _phonemize(text: str, **kwargs) -> str:
+    try:
+        from phonemizer import phonemize  # pragma: no cover - not in this image
+    except ImportError as e:
+        raise RuntimeError(
+            "english_cleaners require the `phonemizer` package (espeak backend), "
+            "which is not installed in this environment. Use "
+            "`transliteration_cleaners` or pre-cleaned filelists instead."
+        ) from e
+    return phonemize(text, language="en-us", backend="espeak", **kwargs)
+
+
+def english_cleaners(text: str) -> str:
+    text = expand_abbreviations(lowercase(convert_to_ascii(text)))
+    return collapse_whitespace(_phonemize(text, strip=True))
+
+
+def english_cleaners2(text: str) -> str:
+    text = expand_abbreviations(lowercase(convert_to_ascii(text)))
+    return collapse_whitespace(
+        _phonemize(text, strip=True, preserve_punctuation=True, with_stress=True)
+    )
+
+
+CLEANERS = {
+    "basic_cleaners": basic_cleaners,
+    "transliteration_cleaners": transliteration_cleaners,
+    "english_cleaners": english_cleaners,
+    "english_cleaners2": english_cleaners2,
+}
