@@ -1,0 +1,159 @@
+"""Property tests for the VITS2 op library: spline/flow invertibility,
+logdet consistency (checked against autodiff jacobians), masking invariance,
+and shape contracts."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from torch_tts_tpu.ops import splines
+from torch_tts_tpu.ops.flows import ConvFlow, ElementwiseAffine, Flip, Log, ResidualCouplingLayer
+from torch_tts_tpu.ops.hifigan import Generator
+from torch_tts_tpu.ops.transformer import Encoder, FFN, MultiHeadAttention
+from torch_tts_tpu.ops.wavenet import WN
+
+
+def test_spline_roundtrip_and_logdet(rng):
+    B, T, C, K = 2, 5, 3, 10
+    x = jnp.asarray(rng.uniform(-8, 8, (B, T, C)).astype(np.float32))
+    uw = jnp.asarray(rng.standard_normal((B, T, C, K)).astype(np.float32))
+    uh = jnp.asarray(rng.standard_normal((B, T, C, K)).astype(np.float32))
+    ud = jnp.asarray(rng.standard_normal((B, T, C, K - 1)).astype(np.float32))
+
+    y, lad = splines.piecewise_rational_quadratic_transform(
+        x, uw, uh, ud, inverse=False, tails="linear", tail_bound=5.0
+    )
+    x_rt, lad_inv = splines.piecewise_rational_quadratic_transform(
+        y, uw, uh, ud, inverse=True, tails="linear", tail_bound=5.0
+    )
+    np.testing.assert_allclose(np.asarray(x_rt), np.asarray(x), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lad_inv), -np.asarray(lad), rtol=1e-3, atol=1e-4)
+
+    # outside the tail bound the map is the identity
+    outside = np.abs(np.asarray(x)) > 5.0
+    np.testing.assert_allclose(np.asarray(y)[outside], np.asarray(x)[outside])
+    assert np.all(np.asarray(lad)[outside] == 0)
+
+    # logabsdet == log |dy/dx| elementwise (autodiff check)
+    def f_elem(xi, uwi, uhi, udi):
+        yi, _ = splines.piecewise_rational_quadratic_transform(
+            xi[None], uwi[None], uhi[None], udi[None],
+            inverse=False, tails="linear", tail_bound=5.0,
+        )
+        return yi[0]
+
+    grad = jax.vmap(
+        jax.vmap(
+            jax.vmap(jax.grad(f_elem), in_axes=(0, 0, 0, 0)), in_axes=(0, 0, 0, 0)
+        ),
+        in_axes=(0, 0, 0, 0),
+    )(x, uw, uh, ud)
+    np.testing.assert_allclose(
+        np.log(np.abs(np.asarray(grad)) + 1e-12), np.asarray(lad), rtol=1e-3, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("flow_cls,kwargs", [
+    (ElementwiseAffine, dict(channels=4)),
+    (Flip, dict()),
+    (ResidualCouplingLayer, dict(channels=4, hidden_channels=8, kernel_size=5,
+                                 dilation_rate=1, n_layers=2, mean_only=True)),
+    (ConvFlow, dict(in_channels=2, filter_channels=16, kernel_size=3, n_layers=2)),
+])
+def test_flow_invertibility(rng, flow_cls, kwargs):
+    B, T = 2, 9
+    C = kwargs.get("channels", kwargs.get("in_channels", 4))
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    lengths = np.array([9, 6])
+    x_mask = jnp.asarray(
+        (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)
+    )[..., None]
+    x = x * x_mask
+
+    flow = flow_cls(**kwargs)
+    variables = flow.init(jax.random.PRNGKey(0), x, x_mask)
+    # perturb zero-initialized projections so the flow is non-trivial
+    params = jax.tree.map(
+        lambda p: p + 0.1 * np.random.default_rng(0).standard_normal(p.shape).astype(p.dtype),
+        variables["params"],
+    ) if variables.get("params") else {}
+
+    out = flow.apply({"params": params}, x, x_mask, reverse=False)
+    y, logdet = out
+    assert logdet.shape == (B,)
+    x_rt = flow.apply({"params": params}, y, x_mask, reverse=True)
+    np.testing.assert_allclose(np.asarray(x_rt), np.asarray(x), rtol=1e-3, atol=1e-4)
+
+
+def test_log_flow_roundtrip(rng):
+    B, T, C = 2, 5, 1
+    x = jnp.asarray(rng.uniform(0.1, 4.0, (B, T, C)).astype(np.float32))
+    mask = jnp.ones((B, T, 1))
+    flow = Log()
+    y, logdet = flow.apply({}, x, mask, reverse=False)
+    x_rt = flow.apply({}, y, mask, reverse=True)
+    np.testing.assert_allclose(np.asarray(x_rt), np.asarray(x), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(logdet), -np.log(np.asarray(x)).sum((1, 2)), rtol=1e-4
+    )
+
+
+def test_wn_shapes_and_masking(rng):
+    B, T, H, G = 2, 12, 16, 8
+    x = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, 1, G)).astype(np.float32))
+    lengths = np.array([12, 7])
+    mask = jnp.asarray((np.arange(T)[None] < lengths[:, None]).astype(np.float32))[..., None]
+
+    wn = WN(H, kernel_size=5, dilation_rate=1, n_layers=3, gin_channels=G)
+    params = wn.init(jax.random.PRNGKey(0), x, mask, g)["params"]
+    y = wn.apply({"params": params}, x * mask, mask, g)
+    assert y.shape == (B, T, H)
+    # masked tail positions produce zeros
+    assert np.allclose(np.asarray(y)[1, 7:], 0)
+
+
+def test_encoder_mask_independence(rng):
+    """Padded positions must not influence valid outputs."""
+    B, T, H = 2, 10, 16
+    x = rng.standard_normal((B, T, H)).astype(np.float32)
+    lengths = np.array([10, 6])
+    mask = jnp.asarray((np.arange(T)[None] < lengths[:, None]).astype(np.float32))[..., None]
+
+    enc = Encoder(H, 32, n_heads=2, n_layers=2, kernel_size=3, window_size=4)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), mask)["params"]
+
+    y1 = enc.apply({"params": params}, jnp.asarray(x) * mask, mask)
+    x2 = x.copy()
+    x2[1, 6:] = 99.0  # garbage in padding
+    y2 = enc.apply({"params": params}, jnp.asarray(x2) * mask, mask)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_mha_rel_window_shapes(rng):
+    B, T, C = 2, 7, 16
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    mha = MultiHeadAttention(C, C, n_heads=4, window_size=4)
+    params = mha.init(jax.random.PRNGKey(0), x, x)["params"]
+    y = mha.apply({"params": params}, x, x)
+    assert y.shape == (B, T, C)
+    assert "emb_rel_k" in params
+
+
+def test_hifigan_generator_shapes(rng):
+    B, T, C = 2, 13, 24
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    gen = Generator(
+        resblock="1",
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+        upsample_rates=(8, 2),
+        upsample_initial_channel=32,
+        upsample_kernel_sizes=(16, 4),
+    )
+    params = gen.init(jax.random.PRNGKey(0), x)["params"]
+    y = gen.apply({"params": params}, x)
+    assert y.shape == (B, T * 16, 1)
+    assert float(jnp.max(jnp.abs(y))) <= 1.0

@@ -1,0 +1,126 @@
+"""HiFi-GAN generator (the VITS decoder `dec`).
+
+Equivalent of /root/reference/vits2/models.py:900-974 plus ResBlock1/2
+(vits2/modules.py:221-360), channels-last. All weight-normed convs; the MRF
+(multi-receptive-field) resblock outputs are averaged per upsample stage.
+
+TPU notes: transposed convs lower to input-dilated convolutions; the whole
+generator is a chain of conv ops over progressively longer, narrower tensors,
+which XLA pipelines well. Weight norm stays in the parameterization (the
+division folds into the conv weights at compile time since g and v are
+constants under jit).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from torch_tts_tpu.ops.layers import Conv1d, ConvTranspose1d, leaky_relu
+
+
+def _get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+class ResBlock1(nn.Module):
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x, x_mask=None):
+        for j, d in enumerate(self.dilation):
+            xt = leaky_relu(x)
+            if x_mask is not None:
+                xt = xt * x_mask
+            xt = Conv1d(
+                self.channels,
+                self.kernel_size,
+                padding=_get_padding(self.kernel_size, d),
+                dilation=d,
+                weight_norm=True,
+                name=f"conv1_{j}",
+            )(xt)
+            xt = leaky_relu(xt)
+            if x_mask is not None:
+                xt = xt * x_mask
+            xt = Conv1d(
+                self.channels,
+                self.kernel_size,
+                padding=_get_padding(self.kernel_size, 1),
+                weight_norm=True,
+                name=f"conv2_{j}",
+            )(xt)
+            x = xt + x
+        if x_mask is not None:
+            x = x * x_mask
+        return x
+
+
+class ResBlock2(nn.Module):
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x, x_mask=None):
+        for j, d in enumerate(self.dilation):
+            xt = leaky_relu(x)
+            if x_mask is not None:
+                xt = xt * x_mask
+            xt = Conv1d(
+                self.channels,
+                self.kernel_size,
+                padding=_get_padding(self.kernel_size, d),
+                dilation=d,
+                weight_norm=True,
+                name=f"conv_{j}",
+            )(xt)
+            x = xt + x
+        if x_mask is not None:
+            x = x * x_mask
+        return x
+
+
+class Generator(nn.Module):
+    """Upsampling waveform decoder: conv_pre -> [upsample + MRF]* -> conv_post."""
+
+    resblock: str = "1"
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    gin_channels: int = 0
+
+    @nn.compact
+    def __call__(self, x, g: Optional[jnp.ndarray] = None):
+        """x: [B, T, C_in] latent frames -> [B, T * prod(rates), 1] waveform."""
+        num_kernels = len(self.resblock_kernel_sizes)
+        res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
+
+        x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
+        if g is not None:
+            x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
+
+        for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            x = leaky_relu(x)
+            x = ConvTranspose1d(
+                ch, k, stride=u, padding=(k - u) // 2, weight_norm=True,
+                name=f"up_{i}",
+            )(x)
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            ):
+                block = res_cls(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")
+                xs = block(x) if xs is None else xs + block(x)
+            x = xs / num_kernels
+
+        x = leaky_relu(x, 0.01)  # final activation uses torch's default slope
+        x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
+        return jnp.tanh(x)
