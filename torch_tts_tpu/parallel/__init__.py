@@ -1,0 +1,1 @@
+from torch_tts_tpu.parallel.mesh import make_mesh, shard_batch, replicate

@@ -1,0 +1,57 @@
+"""Device mesh + sharding rules.
+
+The reference's entire distributed story is single-node DDP over NCCL with
+gradient all-reduce hidden inside backward
+(/root/reference/vits2/train.py:44-69,219-222). The TPU-native equivalent is
+one mesh abstraction:
+
+- a 1-D `data` axis over all chips (ICI within a slice, DCN across slices);
+- batches sharded over `data`, parameters replicated;
+- gradient reduction appears automatically as psum when the jitted train step
+  consumes a sharded batch and produces replicated parameter updates (GSPMD
+  inserts the collectives — nothing like a process-group API is needed).
+
+Model parallelism axes (tp/pp) are deliberately absent for these ~40M-param
+models (SURVEY.md §2.5): parameters fit on one chip with room to spare, so
+replication + data sharding is the speed-of-light layout. The mesh helper
+still accepts extra axes for forward-compatibility.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """1-D data-parallel mesh over the first n_data devices (default: all)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is not None:
+        devices = devices[:n_data]
+    return Mesh(np.array(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over `data`."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place every array in the batch pytree with its batch axis sharded."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (parameters, optimizer state) over the mesh."""
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

@@ -1,0 +1,274 @@
+"""VITS2 GAN training: one jitted step updating G, D, and (optionally) the
+duration discriminator.
+
+Replicates the reference's step structure (/root/reference/vits2/train.py:
+312-432) in pure-functional form:
+
+  1. generator forward (MAS + SDP + random segment -> HiFi-GAN)
+  2. D step on (real slice, stop_grad(y_hat))
+  3. optional duration-discriminator step on detached (hidden_x, logw_, logw)
+  4. G step through the *updated* D (the reference's optim order), with
+     loss = gen + fm + c_mel * mel_l1 + dur + c_kl * kl
+
+Gradient behavior matches the reference: `clip_grad_value_(params, None)`
+only *measures* the grad norm (vits2/commons.py:148-163), so no clipping is
+applied — norms are returned as metrics. AdamW with per-epoch exponential LR
+decay mirrors train.py:197-247.
+
+Data parallelism: the whole step is jit-compiled; feed it a batch sharded
+over the mesh `data` axis and replicated params (parallel/mesh.py) and GSPMD
+inserts the gradient all-reduces over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from torch_tts_tpu.audio import mel as melmod
+from torch_tts_tpu.core.config import VITS2Config
+from torch_tts_tpu.core.masks import slice_segments
+from torch_tts_tpu.models.vits2.losses import (
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+    kl_loss,
+)
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params_g: Any
+    opt_g: Any
+    params_d: Any
+    opt_d: Any
+    params_dur: Any = None
+    opt_dur: Any = None
+
+
+def global_norm(tree) -> jax.Array:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_optimizer(cfg: VITS2Config, steps_per_epoch: int = 1000):
+    """AdamW + per-epoch exponential decay (train.py:197-206, 242-247)."""
+    lr = optax.exponential_decay(
+        init_value=cfg.train.learning_rate,
+        transition_steps=steps_per_epoch,
+        decay_rate=cfg.train.lr_decay,
+        staircase=True,
+    )
+    return optax.adamw(
+        lr,
+        b1=cfg.train.betas[0],
+        b2=cfg.train.betas[1],
+        eps=cfg.train.eps,
+        weight_decay=0.01,
+    )
+
+
+def create_train_state(
+    cfg: VITS2Config,
+    model,
+    mpd,
+    dur_disc=None,
+    rng: Optional[jax.Array] = None,
+    steps_per_epoch: int = 1000,
+    sample_batch: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[TrainState, Any]:
+    """Initialize all networks + optimizers. Returns (state, optimizer)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
+    k_g, k_d, k_dur, k_noise, k_drop = jax.random.split(rng, 5)
+    b = sample_batch
+    init_rngs = {"params": k_g, "noise": k_noise, "dropout": k_drop}
+    sid = b.get("sid") if cfg.model.n_speakers > 1 else None
+    vars_g = model.init(
+        init_rngs, b["x"], b["x_lengths"], b["spec"], b["spec_lengths"], sid=sid
+    )
+    params_g = vars_g["params"]
+
+    seg = cfg.model.segment_size
+    dummy_wav = jnp.zeros((b["x"].shape[0], seg, 1))
+    vars_d = mpd.init({"params": k_d}, dummy_wav, dummy_wav)
+    params_d = vars_d["params"]
+
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_g=params_g,
+        opt_g=tx.init(params_g),
+        params_d=params_d,
+        opt_d=tx.init(params_d),
+    )
+    if dur_disc is not None:
+        h = cfg.model.hidden_channels
+        t_x = b["x"].shape[1]
+        dummy_h = jnp.zeros((b["x"].shape[0], t_x, h))
+        dummy_m = jnp.ones((b["x"].shape[0], t_x, 1))
+        dummy_w = jnp.zeros((b["x"].shape[0], t_x, 1))
+        vars_dur = dur_disc.init({"params": k_dur}, dummy_h, dummy_m, dummy_w, dummy_w)
+        params_dur = vars_dur["params"]
+        state = state.replace(params_dur=params_dur, opt_dur=tx.init(params_dur))
+    return state, tx
+
+
+def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
+    """Build the jitted train step closure. All config is static."""
+    a = cfg.audio
+    seg_frames = cfg.segment_frames
+    seg_samples = cfg.model.segment_size
+    hop = a.hop_length
+    use_mel_post = cfg.model.use_mel_posterior_encoder
+    use_noise_mas = cfg.model.use_noise_scaled_mas
+    c_mel = cfg.train.c_mel
+    c_kl = cfg.train.c_kl
+    multispeaker = cfg.model.n_speakers > 1
+
+    def _mel_of_wav(wav_sq):  # [B, L] -> [B, T, n_mels]
+        return melmod.mel_spectrogram(
+            wav_sq, a.filter_length, a.n_mel_channels, a.sampling_rate,
+            hop, a.win_length, a.mel_fmin, a.mel_fmax,
+        )
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        x, x_lengths = batch["x"], batch["x_lengths"]
+        spec, spec_lengths = batch["spec"], batch["spec_lengths"]
+        wav = batch["wav"]  # [B, L, 1]
+        sid = batch.get("sid") if multispeaker else None
+
+        k_noise, k_drop = jax.random.split(jax.random.fold_in(rng, state.step), 2)
+        g_rngs = {"noise": k_noise, "dropout": k_drop}
+
+        if use_noise_mas:
+            mas_noise = jnp.maximum(
+                cfg.model.mas_noise_scale_initial
+                - cfg.model.noise_scale_delta * state.step,
+                0.0,
+            )
+        else:
+            mas_noise = None
+
+        def gen_forward(params_g):
+            return model.apply(
+                {"params": params_g},
+                x, x_lengths, spec, spec_lengths, sid=sid,
+                mas_noise_scale=mas_noise, deterministic=False, rngs=g_rngs,
+            )
+
+        # ---- 1. generator forward (for the D step) ----
+        out = gen_forward(state.params_g)
+        (y_hat, l_length, attn, ids_slice, x_mask, z_mask, latents, dur_t) = out
+        hx, logw, logw_ = dur_t
+        y_slice = slice_segments(wav, ids_slice * hop, seg_samples)
+
+        mel = spec if use_mel_post else melmod.spec_to_mel(
+            spec, a.filter_length, a.n_mel_channels, a.sampling_rate,
+            a.mel_fmin, a.mel_fmax,
+        )
+        y_mel = slice_segments(mel, ids_slice, seg_frames)
+
+        # ---- 2. discriminator step ----
+        y_hat_sg = jax.lax.stop_gradient(y_hat)
+
+        def d_loss_fn(params_d):
+            y_d_r, y_d_g, _, _ = mpd.apply({"params": params_d}, y_slice, y_hat_sg)
+            loss_disc, r_l, g_l = discriminator_loss(y_d_r, y_d_g)
+            return loss_disc, (r_l, g_l)
+
+        (loss_disc, _), grads_d = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.params_d
+        )
+        upd_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, upd_d)
+
+        # ---- 3. duration discriminator step (optional) ----
+        metrics_extra = {}
+        params_dur, opt_dur = state.params_dur, state.opt_dur
+        if dur_disc is not None:
+            hx_sg = jax.lax.stop_gradient(hx)
+            xm_sg = jax.lax.stop_gradient(x_mask)
+            logw_sg = jax.lax.stop_gradient(logw)
+            logw__sg = jax.lax.stop_gradient(logw_)
+
+            def dur_loss_fn(p):
+                prob_r, prob_g = dur_disc.apply(
+                    {"params": p}, hx_sg, xm_sg, logw__sg, logw_sg
+                )
+                loss, _, _ = discriminator_loss([prob_r], [prob_g])
+                return loss
+
+            loss_dur_disc, grads_dur = jax.value_and_grad(dur_loss_fn)(params_dur)
+            upd_dur, opt_dur = tx.update(grads_dur, state.opt_dur, params_dur)
+            params_dur = optax.apply_updates(params_dur, upd_dur)
+            metrics_extra = {
+                "loss/dur_disc": loss_dur_disc,
+                "grad_norm_dur_disc": global_norm(grads_dur),
+            }
+
+        # ---- 4. generator step (through the updated D) ----
+        def g_loss_fn(params_g):
+            out2 = gen_forward(params_g)
+            (y_hat2, l_length2, _attn, ids2, _xm, z_mask2, latents2, dur_t2) = out2
+            _hx2, logw2, logw_2 = dur_t2
+            z2, z_p2, m_p2, logs_p2, m_q2, logs_q2 = latents2
+            y_mel2 = slice_segments(mel, ids2, seg_frames)
+            y_slice2 = slice_segments(wav, ids2 * hop, seg_samples)
+            y_hat_mel = _mel_of_wav(y_hat2[..., 0])
+
+            _, y_d_g, fmap_r, fmap_g = mpd.apply(
+                {"params": params_d}, y_slice2, y_hat2
+            )
+            loss_dur = jnp.sum(l_length2)
+            loss_mel = jnp.mean(jnp.abs(y_mel2 - y_hat_mel)) * c_mel
+            loss_kl = kl_loss(z_p2, logs_q2, m_p2, logs_p2, z_mask2) * c_kl
+            loss_fm = feature_loss(fmap_r, fmap_g)
+            loss_gen, _ = generator_loss(y_d_g)
+            loss_all = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl
+            if dur_disc is not None:
+                prob_r, prob_g = dur_disc.apply(
+                    {"params": params_dur}, _hx2, _xm, logw_2, logw2
+                )
+                loss_dur_gen, _ = generator_loss([prob_g])
+                loss_all = loss_all + loss_dur_gen
+            aux = {
+                "loss/g/total": loss_all,
+                "loss/g/gen": loss_gen,
+                "loss/g/fm": loss_fm,
+                "loss/g/mel": loss_mel,
+                "loss/g/dur": loss_dur,
+                "loss/g/kl": loss_kl,
+            }
+            return loss_all, aux
+
+        (loss_g, aux_g), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.params_g
+        )
+        upd_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, upd_g)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params_g=params_g,
+            opt_g=opt_g,
+            params_d=params_d,
+            opt_d=opt_d,
+            params_dur=params_dur,
+            opt_dur=opt_dur,
+        )
+        metrics = {
+            "loss/d/total": loss_disc,
+            "grad_norm_d": global_norm(grads_d),
+            "grad_norm_g": global_norm(grads_g),
+            **aux_g,
+            **metrics_extra,
+        }
+        return new_state, metrics
+
+    return train_step
