@@ -1,0 +1,157 @@
+"""End-to-end trainer smoke tests on synthetic datasets (tiny configs):
+VITS2Trainer (data -> sharded steps -> checkpoint -> resume), the tacotron
+HDF5 prepare pipeline + TacotronTrainer, and StableHLO export round-trip."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+import jax
+import jax.numpy as jnp
+
+from torch_tts_tpu.core.config import (
+    AudioConfig,
+    DataConfig,
+    TacotronAudioConfig,
+    TacotronConfig,
+    TacotronModelConfig,
+    TacotronTextConfig,
+    VITS2Config,
+    VITS2ModelConfig,
+    VITS2TrainConfig,
+)
+
+HOP = 64
+
+
+def vits2_tiny_cfg():
+    model = VITS2ModelConfig(
+        inter_channels=16, hidden_channels=16, filter_channels=32, n_heads=2,
+        n_layers=1, kernel_size=3, p_dropout=0.1, resblock="2",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(8, 8), upsample_initial_channel=32,
+        upsample_kernel_sizes=(16, 16), segment_size=4 * HOP,
+    )
+    audio = AudioConfig(sampling_rate=8000, filter_length=128, hop_length=HOP,
+                        win_length=128, n_mel_channels=20)
+    train = VITS2TrainConfig(batch_size=2, log_interval=2, eval_interval=4,
+                             epochs=1)
+    data = DataConfig(text_cleaners=("basic_cleaners",), add_blank=False)
+    return VITS2Config(audio=audio, model=model, train=train, data=data)
+
+
+def make_synth_ljspeech(tmp_path, rng, n=8, sr=8000):
+    wavs = tmp_path / "wavs"
+    wavs.mkdir(parents=True, exist_ok=True)
+    lines = []
+    for i in range(n):
+        dur = HOP * (20 + 4 * (i % 3))
+        data = (rng.standard_normal(dur) * 2000).astype(np.int16)
+        wavfile.write(str(wavs / f"u{i}.wav"), sr, data)
+        lines.append(f"u{i}|Hello there {i}|hello there number {i}")
+    (tmp_path / "metadata.csv").write_text("\n".join(lines))
+    return str(tmp_path)
+
+
+def test_vits2_trainer_e2e(tmp_path, rng):
+    from torch_tts_tpu.data.dataset import TextAudioDataset
+    from torch_tts_tpu.train import checkpoint as ckpt
+    from torch_tts_tpu.train.vits2_trainer import VITS2Trainer
+
+    cfg = vits2_tiny_cfg()
+    root = make_synth_ljspeech(tmp_path / "ds", rng)
+    os.makedirs(root, exist_ok=True)
+    ds = TextAudioDataset.from_ljspeech(root, cfg.audio, cfg.data, use_mel=True)
+    assert len(ds) == 8
+
+    run_dir = str(tmp_path / "run")
+    trainer = VITS2Trainer(
+        cfg, run_dir, ds, eval_dataset=None, use_mesh=False,
+        bucket_boundaries=[4, 40], pad_text_to=32, eval_max_frames=16,
+    )
+    trainer.train(epochs=1)
+    step = int(jax.device_get(trainer.state.step))
+    assert step >= 4  # 8 items / batch 2
+    assert ckpt.latest_checkpoint(run_dir) is not None
+
+    # resume picks up the checkpoint
+    trainer2 = VITS2Trainer(
+        cfg, run_dir, ds, use_mesh=False,
+        bucket_boundaries=[4, 40], pad_text_to=32, eval_max_frames=16,
+    )
+    assert int(jax.device_get(trainer2.state.step)) == step
+
+
+TACO_TINY = TacotronConfig(
+    audio=TacotronAudioConfig(sample_rate=8000, hop_length=64, win_length=256,
+                              num_mels=20, fmin=50, fmax=3500),
+    text=TacotronTextConfig(alphabet="#abcdefghijklmnopqrstuvwxyz ",
+                            eos_symbols="#"),
+    model=TacotronModelConfig(
+        dim_emb=16, dim_out=16, r=2, dim_pre=8, dim_att=8, dim_rnn=(16, 16),
+        postnet_dim_hidden=16, postnet_num_layers=2,
+    ),
+)
+
+
+def test_tacotron_prepare_and_train_e2e(tmp_path, rng):
+    import h5py
+
+    from torch_tts_tpu.data.tacotron_dataset import (
+        TacotronDatasetHDF5,
+        build_dataset_hdf5,
+        collate_tacotron,
+    )
+    from torch_tts_tpu.text.encoder import TextEncoder
+    from torch_tts_tpu.train import checkpoint as ckpt
+    from torch_tts_tpu.train.tacotron_train import TacotronTrainer
+
+    root = make_synth_ljspeech(tmp_path / "ds", rng, n=6, sr=8000)
+    h5_path = str(tmp_path / "cache.h5")
+    build_dataset_hdf5(root, TACO_TINY, h5_path)
+    with h5py.File(h5_path, "r") as f:
+        assert len(f.keys()) == 6
+
+    enc = TextEncoder(TACO_TINY.text.alphabet, eos="#")
+    ds = TacotronDatasetHDF5(h5_path, enc)
+    samples = [ds[i] for i in range(4)]
+    batch = collate_tacotron(samples, pad_text_to=32, pad_frames_to=28, r=2)
+    assert batch["x"].shape == (4, 28, 20)
+
+    run_dir = str(tmp_path / "taco_run")
+    trainer = TacotronTrainer(TACO_TINY, run_dir)
+    trainer.train([batch], eval_batches=[batch], num_epochs=2, log_interval=1)
+    assert ckpt.latest_checkpoint(run_dir) is not None
+    assert int(jax.device_get(trainer.state.step)) == 2
+
+
+def test_vits2_export_roundtrip(rng, tmp_path):
+    from torch_tts_tpu.infer.export import export_vits2_infer, load_exported
+    from torch_tts_tpu.models.vits2 import SynthesizerTrn
+
+    cfg = vits2_tiny_cfg()
+    model = SynthesizerTrn(n_vocab=30, spec_channels=cfg.posterior_channels,
+                           segment_frames=cfg.segment_frames, cfg=cfg.model)
+    T_x, MAX_F = 12, 16
+    x = jnp.asarray(rng.integers(1, 30, (1, T_x)), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(
+        rngs, x, jnp.asarray([T_x], jnp.int32),
+        max_frames=MAX_F, method=SynthesizerTrn.infer,
+    )
+    blob = export_vits2_infer(
+        model, variables["params"], max_text_len=T_x, max_frames=MAX_F,
+        path=str(tmp_path / "vits2.stablehlo"),
+    )
+    assert len(blob) > 1000
+
+    exported = load_exported(str(tmp_path / "vits2.stablehlo"))
+    audio, y_lengths = exported.call(
+        variables["params"], x, jnp.asarray([T_x], jnp.int32),
+        jnp.asarray([0.667, 1.0, 0.8], jnp.float32),
+    )
+    assert audio.shape == (1, MAX_F * HOP, 1)

@@ -1,0 +1,92 @@
+"""VITS2 inference CLI.
+
+Equivalent of /root/reference/vits2/inference.py and inference_ms.py (the
+script constants become flags): text -> wav with the reference's default
+noise scales (0.667 / 0.8 / 1.0, inference.py:56). `--sid` selects the
+speaker for multi-speaker checkpoints.
+
+Usage:
+  python -m torch_tts_tpu.cli.vits2_infer -c config.yaml -m runs/ljspeech \
+      --text "speech synthesis is neat" -o out.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-m", "--model-dir", required=True,
+                   help="run dir (latest checkpoint) or a checkpoint file")
+    p.add_argument("--text", required=True)
+    p.add_argument("-o", "--output", default="out.wav")
+    p.add_argument("--sid", type=int, default=None)
+    p.add_argument("--noise-scale", type=float, default=0.667)
+    p.add_argument("--noise-scale-w", type=float, default=0.8)
+    p.add_argument("--length-scale", type=float, default=1.0)
+    p.add_argument("--max-frames", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=1234)
+    args = p.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scipy.io import wavfile
+
+    from torch_tts_tpu.core.config import load_vits2_config
+    from torch_tts_tpu.models.vits2 import SynthesizerTrn
+    from torch_tts_tpu.text import intersperse, symbols, text_to_sequence
+    from torch_tts_tpu.train import checkpoint as ckpt
+    from torch_tts_tpu.train.vits2_trainer import build_models
+
+    cfg = load_vits2_config(args.config)
+    model, _, _ = build_models(cfg)
+
+    ids = text_to_sequence(args.text, list(cfg.data.text_cleaners))
+    if cfg.data.add_blank:
+        ids = intersperse(ids, 0)
+    x = jnp.asarray([ids], jnp.int32)
+    x_lengths = jnp.asarray([len(ids)], jnp.int32)
+    sid = jnp.asarray([args.sid], jnp.int32) if args.sid is not None else None
+
+    # initialize to get the parameter structure, then load the checkpoint
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(
+        rngs, x, x_lengths, sid=sid,
+        noise_scale=args.noise_scale, noise_scale_w=args.noise_scale_w,
+        length_scale=args.length_scale, max_frames=args.max_frames,
+        method=SynthesizerTrn.infer,
+    )
+    path = args.model_dir
+    if not path.endswith(".msgpack"):
+        path = ckpt.latest_checkpoint(path)
+        if path is None:
+            raise SystemExit(f"no checkpoint found in {args.model_dir}")
+    import flax
+
+    loaded = ckpt.restore_checkpoint(
+        path, {"params_g": variables["params"]}, lenient=True
+    )
+    params = loaded["params_g"]
+
+    audio, attn, y_mask, _aux, y_lengths = model.apply(
+        {"params": params}, x, x_lengths, sid=sid,
+        noise_scale=args.noise_scale, noise_scale_w=args.noise_scale_w,
+        length_scale=args.length_scale, max_frames=args.max_frames,
+        method=SynthesizerTrn.infer,
+        rngs={"noise": jax.random.PRNGKey(args.seed)},
+    )
+    n = int(np.asarray(y_lengths)[0]) * cfg.audio.hop_length
+    wav = np.asarray(audio)[0, :n, 0]
+    wav16 = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+    wavfile.write(args.output, cfg.audio.sampling_rate, wav16)
+    print(f"wrote {args.output}: {n / cfg.audio.sampling_rate:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

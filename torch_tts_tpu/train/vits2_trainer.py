@@ -1,0 +1,193 @@
+"""VITS2 training loop: data feeding, stepping, logging, checkpointing.
+
+The orchestration layer over train/vits2_train.py — the equivalent of
+`run`/`train_and_evaluate` in /root/reference/vits2/train.py:58-528 (and its
+multi-speaker twin train_ms.py, which differs only in sid threading):
+
+- epoch loop over a DistributedBucketSampler whose buckets carry static
+  padded shapes (one XLA executable per bucket instead of per batch shape)
+- TB scalars at log_interval; eval + checkpoint (keep 3) at eval_interval
+- resume-from-latest with lenient restore
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from torch_tts_tpu.core.config import VITS2Config
+from torch_tts_tpu.data.dataset import TextAudioDataset, collate_batch
+from torch_tts_tpu.data.sampler import DistributedBucketSampler
+from torch_tts_tpu.models.vits2 import (
+    DurationDiscriminatorV1,
+    DurationDiscriminatorV2,
+    MultiPeriodDiscriminator,
+    SynthesizerTrn,
+)
+from torch_tts_tpu.parallel import make_mesh, replicate, shard_batch
+from torch_tts_tpu.text import symbols
+from torch_tts_tpu.train import checkpoint as ckpt
+from torch_tts_tpu.train.vits2_train import create_train_state, make_train_step
+from torch_tts_tpu.utils import logging_utils as lu
+
+logger = logging.getLogger(__name__)
+
+BUCKET_BOUNDARIES = [32, 300, 400, 500, 600, 700, 800, 900, 1000]
+
+
+def build_models(cfg: VITS2Config):
+    model = SynthesizerTrn(
+        n_vocab=len(symbols),
+        spec_channels=cfg.posterior_channels,
+        segment_frames=cfg.segment_frames,
+        cfg=cfg.model,
+    )
+    mpd = MultiPeriodDiscriminator(use_spectral_norm=cfg.model.use_spectral_norm)
+    dur_disc = None
+    if cfg.model.use_duration_discriminator:
+        cls = (
+            DurationDiscriminatorV1
+            if cfg.model.duration_discriminator_type == "dur_disc_1"
+            else DurationDiscriminatorV2
+        )
+        dur_disc = cls(cfg.model.hidden_channels)
+    return model, mpd, dur_disc
+
+
+class VITS2Trainer:
+    def __init__(
+        self,
+        cfg: VITS2Config,
+        model_dir: str,
+        train_dataset: TextAudioDataset,
+        eval_dataset: Optional[TextAudioDataset] = None,
+        use_mesh: bool = True,
+        bucket_boundaries: Optional[list] = None,
+        pad_text_to: Optional[int] = None,
+        eval_max_frames: int = 1000,
+    ):
+        self.eval_max_frames = eval_max_frames
+        self.cfg = cfg
+        self.model_dir = model_dir
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        boundaries = bucket_boundaries or BUCKET_BOUNDARIES
+        os.makedirs(model_dir, exist_ok=True)
+        lu.check_git_hash(model_dir)
+        self.writer = lu.make_writer(model_dir)
+        self.writer_eval = lu.make_writer(os.path.join(model_dir, "eval"))
+
+        self.model, self.mpd, self.dur_disc = build_models(cfg)
+        self.mesh = make_mesh() if use_mesh else None
+        n_rep = 1  # single-host: all devices share one process feeding the mesh
+        self.sampler = DistributedBucketSampler(
+            train_dataset.lengths,
+            cfg.train.batch_size,
+            boundaries,
+            num_replicas=n_rep,
+            rank=0,
+            shuffle=True,
+        )
+        steps_per_epoch = max(1, len(self.sampler))
+        self.pad_text = pad_text_to or (
+            cfg.data.max_text_len * (2 if cfg.data.add_blank else 1) + 1
+        )
+        sample_pad = self.sampler.pad_frames_for_bucket(0)
+        sample = collate_batch(
+            [train_dataset[i] for i in range(min(2, len(train_dataset)))],
+            pad_text_to=self.pad_text,
+            pad_frames_to=sample_pad,
+        )
+        self.state, self.tx = create_train_state(
+            cfg, self.model, self.mpd, dur_disc=self.dur_disc,
+            sample_batch={k: jax.numpy.asarray(v) for k, v in sample.items()},
+            steps_per_epoch=steps_per_epoch,
+        )
+        self.step_fn = jax.jit(
+            make_train_step(cfg, self.model, self.mpd, self.tx, dur_disc=self.dur_disc)
+        )
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+
+        latest = ckpt.latest_checkpoint(model_dir)
+        if latest:
+            logger.info("Resuming from %s", latest)
+            self.state = ckpt.restore_checkpoint(latest, self.state)
+
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+
+    def _make_batch(self, pad_frames: int, idxs):
+        samples = [self.train_dataset[i] for i in idxs]
+        batch = collate_batch(samples, pad_text_to=self.pad_text,
+                              pad_frames_to=pad_frames)
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def train(self, epochs: Optional[int] = None) -> None:
+        cfg = self.cfg
+        epochs = epochs or cfg.train.epochs
+        step = int(jax.device_get(self.state.step))
+        t_last = time.perf_counter()
+        for epoch in range(1, epochs + 1):
+            self.sampler.set_epoch(epoch)
+            for pad_frames, idxs in self.sampler:
+                batch = self._make_batch(pad_frames, idxs)
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, metrics = self.step_fn(self.state, batch, sub)
+                step += 1
+                if step % cfg.train.log_interval == 0:
+                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    dt = time.perf_counter() - t_last
+                    t_last = time.perf_counter()
+                    m["perf/steps_per_s"] = cfg.train.log_interval / dt
+                    lu.summarize(self.writer, step, scalars=m)
+                    logger.info("step %d: %s", step,
+                                {k: round(v, 4) for k, v in m.items()})
+                if step % cfg.train.eval_interval == 0:
+                    self.evaluate(step)
+                    ckpt.save_checkpoint(
+                        self.model_dir, step, self.state, keep=cfg.train.keep_ckpts
+                    )
+            logger.info("==== epoch %d done (step %d)", epoch, step)
+
+    def evaluate(self, step: int) -> None:
+        if self.eval_dataset is None or len(self.eval_dataset) == 0:
+            return
+        import jax.numpy as jnp
+
+        sample = collate_batch(
+            [self.eval_dataset[i] for i in range(min(4, len(self.eval_dataset)))],
+            pad_text_to=self.pad_text,
+        )
+        params = jax.device_get(self.state.params_g)
+        max_frames = self.eval_max_frames
+        audio, attn, y_mask, _aux, y_lengths = self.model.apply(
+            {"params": params},
+            jnp.asarray(sample["x"]),
+            jnp.asarray(sample["x_lengths"]),
+            noise_scale=0.667, noise_scale_w=0.8, length_scale=1.0,
+            max_frames=max_frames,
+            method=SynthesizerTrn.infer,
+            rngs={"noise": jax.random.PRNGKey(step), "dropout": jax.random.PRNGKey(0)},
+        )
+        audio = np.asarray(audio)
+        y_lengths = np.asarray(y_lengths)
+        hop = self.cfg.audio.hop_length
+        audios = {
+            f"gen/audio_{i}": audio[i, : y_lengths[i] * hop, 0]
+            for i in range(audio.shape[0])
+        }
+        images = {
+            f"gen/attn_{i}": lu.plot_alignment_to_numpy(np.asarray(attn[i]))
+            for i in range(min(2, audio.shape[0]))
+        }
+        lu.summarize(
+            self.writer_eval, step, images=images, audios=audios,
+            audio_sampling_rate=self.cfg.audio.sampling_rate,
+        )
