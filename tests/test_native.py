@@ -107,3 +107,20 @@ def test_native_lltm_matches_python(rng):
     d_jax = _lltm_vjp_bwd(res, (jnp.asarray(gh), jnp.asarray(gc)))
     for a, bj in zip(d_native, d_jax):
         np.testing.assert_allclose(a, np.asarray(bj), rtol=1e-3, atol=1e-4)
+
+
+def test_ttsb_roundtrip(tmp_path, rng):
+    from torch_tts_tpu.infer.artifacts import read_ttsb, write_ttsb
+
+    tensors = [
+        rng.standard_normal((3, 4)).astype(np.float32),
+        rng.integers(0, 100, (7,)).astype(np.int32),
+        np.float32(rng.standard_normal((2, 3, 5))),
+    ]
+    p = str(tmp_path / "t.ttsb")
+    write_ttsb(p, tensors)
+    back = read_ttsb(p)
+    assert len(back) == 3
+    for a, b in zip(tensors, back):
+        np.testing.assert_array_equal(a, b)
+        assert a.dtype == b.dtype
