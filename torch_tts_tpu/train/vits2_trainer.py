@@ -129,18 +129,33 @@ class VITS2Trainer:
             batch = shard_batch(batch, self.mesh)
         return batch
 
-    def train(self, epochs: Optional[int] = None) -> None:
+    def train(self, epochs: Optional[int] = None,
+              profile_steps: Optional[tuple] = None,
+              profile_dir: Optional[str] = None) -> None:
+        """Train. profile_steps=(start, stop) captures a jax.profiler trace of
+        those steps into profile_dir (default <model_dir>/profile) — the
+        tracing hook the reference lacks entirely (SURVEY.md §5)."""
         cfg = self.cfg
         epochs = epochs or cfg.train.epochs
         step = int(jax.device_get(self.state.step))
         t_last = time.perf_counter()
+        profiling = False
         for epoch in range(1, epochs + 1):
             self.sampler.set_epoch(epoch)
             for pad_frames, idxs in self.sampler:
+                if profile_steps and step == profile_steps[0] and not profiling:
+                    jax.profiler.start_trace(
+                        profile_dir or os.path.join(self.model_dir, "profile")
+                    )
+                    profiling = True
                 batch = self._make_batch(pad_frames, idxs)
                 self.rng, sub = jax.random.split(self.rng)
                 self.state, metrics = self.step_fn(self.state, batch, sub)
                 step += 1
+                if profiling and step >= profile_steps[1]:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    profiling = False
                 if step % cfg.train.log_interval == 0:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     dt = time.perf_counter() - t_last
