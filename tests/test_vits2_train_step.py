@@ -154,3 +154,24 @@ def test_checkpoint_roundtrip_and_keep3(rng, tmp_path):
     a = jax.tree.leaves(state.params_g)[0]
     b = jax.tree.leaves(restored.params_g)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_step_multispeaker(rng):
+    cfg = tiny_config(n_speakers=4, gin_channels=8)
+    model = SynthesizerTrn(
+        n_vocab=30, spec_channels=cfg.posterior_channels,
+        segment_frames=cfg.segment_frames, cfg=cfg.model,
+    )
+    mpd = MultiPeriodDiscriminator(periods=(2,))
+    batch = make_batch(rng, cfg, B=4)
+    batch["sid"] = jnp.asarray([0, 1, 2, 3])
+    state, tx = create_train_state(
+        cfg, model, mpd, sample_batch=batch, steps_per_epoch=10
+    )
+    step_fn = jax.jit(make_train_step(cfg, model, mpd, tx))
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss/g/total"]))
+    # speaker embedding received gradient
+    emb_before = np.asarray(state.params_g["emb_g"]["embedding"])
+    emb_after = np.asarray(new_state.params_g["emb_g"]["embedding"])
+    assert np.abs(emb_before - emb_after).max() > 0

@@ -24,6 +24,11 @@ def main():
     p.add_argument("--optimizer-interval", type=int, default=1,
                    help="gradient accumulation steps")
     p.add_argument("--max-audio-frames", type=int, default=None)
+    p.add_argument("--filter", default=None, metavar="SCORES_OUT",
+                   help="instead of training, score every utterance's "
+                        "alignment crispness with the current checkpoint and "
+                        "write 'utt_id score' lines (reference train.py:81-101 "
+                        "dataset filter mode)")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -62,6 +67,33 @@ def main():
 
     trainer = TacotronTrainer(cfg, args.run_dir, lr=args.lr,
                               accum_steps=args.optimizer_interval)
+
+    if args.filter:
+        import jax
+
+        all_idx = list(range(len(ds)))
+        first = collate_tacotron([ds[i] for i in all_idx[: args.batch_size]],
+                                 pad_text_to=pad_c, pad_frames_to=pad_x, r=r)
+        trainer.setup(first)
+        scores = {}
+        for start in range(0, len(all_idx), args.batch_size):
+            chunk = all_idx[start : start + args.batch_size]
+            samples = [ds[i] for i in chunk]
+            batch = collate_tacotron(samples, pad_text_to=pad_c,
+                                     pad_frames_to=pad_x, r=r)
+            _metrics, w = trainer.eval_fn(
+                trainer.state, batch, jax.random.PRNGKey(0)
+            )
+            w = np.asarray(w)  # [B, S, L]
+            for bi, i in enumerate(chunk):
+                S = max(1, int(batch["x_lengths"][bi]) // r)
+                crisp = float(w[bi, :S].max(axis=1).mean())
+                scores[ds.utt_ids[i]] = crisp
+        with open(args.filter, "w") as f:
+            for utt, s in sorted(scores.items(), key=lambda kv: kv[1]):
+                f.write(f"{utt}\t{s:.4f}\n")
+        print(f"wrote {len(scores)} alignment-crispness scores to {args.filter}")
+        return
 
     class EpochIterable:
         def __init__(self, idx, lengths, bs):

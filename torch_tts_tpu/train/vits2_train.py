@@ -89,14 +89,18 @@ def create_train_state(
     b = sample_batch
     init_rngs = {"params": k_g, "noise": k_noise, "dropout": k_drop}
     sid = b.get("sid") if cfg.model.n_speakers > 1 else None
-    vars_g = model.init(
-        init_rngs, b["x"], b["x_lengths"], b["spec"], b["spec_lengths"], sid=sid
-    )
+    # jit the initializers: one compiled program instead of thousands of
+    # op-by-op dispatches (matters a lot on remote/tunneled devices)
+    vars_g = jax.jit(
+        lambda: model.init(
+            init_rngs, b["x"], b["x_lengths"], b["spec"], b["spec_lengths"], sid=sid
+        )
+    )()
     params_g = vars_g["params"]
 
     seg = cfg.model.segment_size
     dummy_wav = jnp.zeros((b["x"].shape[0], seg, 1))
-    vars_d = mpd.init({"params": k_d}, dummy_wav, dummy_wav)
+    vars_d = jax.jit(lambda: mpd.init({"params": k_d}, dummy_wav, dummy_wav))()
     params_d = vars_d["params"]
 
     tx = make_optimizer(cfg, steps_per_epoch)
