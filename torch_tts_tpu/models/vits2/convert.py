@@ -223,6 +223,12 @@ def _convert_coupling(cv: Converter, tkey: str, kind: str, wn_layers: int = 4) -
         out["post"] = _convert_conv1d(cv, f"{tkey}.post", {})
     if kind == "pre_conv":
         out["pre_transformer"] = _convert_encoder(cv, f"{tkey}.pre_transformer", 2)
+        # the reference also declares a post_transformer whose forward use is
+        # commented out (models.py:492-515); its params exist in checkpoints
+        # but are dead weight — consume them silently
+        for k in list(cv.sd):
+            if k.startswith(f"{tkey}.post_transformer."):
+                cv.used.add(k)
     if kind == "pre_conv2":
         out["pre_transformer"] = _convert_encoder(cv, f"{tkey}.pre_transformer", 1)
     if kind == "fft":
@@ -410,6 +416,32 @@ def export_torch_state_dict(params: Dict[str, Any], cfg) -> Dict[str, np.ndarray
                 out[_flax_to_torch_path(fpath + [k])] = _t(v)
 
     walk(params, [])
+
+    # vestigial post_transformer of the pre_conv flow layers (models.py:492-500):
+    # the reference's state_dict contains these never-used params; emit
+    # identity-initialized placeholders so strict loads into reference
+    # modules succeed.
+    if getattr(cfg, "use_transformer_flows", False) and (
+        getattr(cfg, "transformer_flow_type", "") == "pre_conv"
+    ):
+        h = cfg.hidden_channels
+        for fi in range(4):
+            p = f"flow.flows.{2 * fi}.post_transformer"
+            for li in range(2):
+                a = f"{p}.attn_layers.{li}"
+                for nm in ("conv_q", "conv_k", "conv_v", "conv_o"):
+                    out[f"{a}.{nm}.weight"] = np.zeros((h, h, 1), np.float32)
+                    out[f"{a}.{nm}.bias"] = np.zeros((h,), np.float32)
+                out[f"{p}.norm_layers_1.{li}.gamma"] = np.ones((h,), np.float32)
+                out[f"{p}.norm_layers_1.{li}.beta"] = np.zeros((h,), np.float32)
+                f = f"{p}.ffn_layers.{li}"
+                out[f"{f}.conv_1.weight"] = np.zeros((h, h, 3), np.float32)
+                out[f"{f}.conv_1.bias"] = np.zeros((h,), np.float32)
+                out[f"{f}.conv_2.weight"] = np.zeros((h, h, 3), np.float32)
+                out[f"{f}.conv_2.bias"] = np.zeros((h,), np.float32)
+                out[f"{p}.norm_layers_2.{li}.gamma"] = np.ones((h,), np.float32)
+                out[f"{p}.norm_layers_2.{li}.beta"] = np.zeros((h,), np.float32)
+
     # resblock_{i}_{j} -> resblocks.{i * num_kernels + j}
     n_k = len(cfg.resblock_kernel_sizes)
     fixed = {}

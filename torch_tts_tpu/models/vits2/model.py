@@ -698,7 +698,7 @@ class SynthesizerTrn(nn.Module):
         eps = jax.random.normal(self.make_rng("noise"), m_p_e.shape, m_p_e.dtype)
         z_p = m_p_e + eps * jnp.exp(logs_p_e) * noise_scale
         z = self.flow(z_p, y_mask, g=g, reverse=True, deterministic=deterministic)
-        o = self.dec(z * y_mask, g=g)
+        o = self.dec(z * y_mask, g=g, x_mask=y_mask)
         return o, attn, y_mask, (z, z_p, m_p_e, logs_p_e), y_lengths
 
     def voice_conversion(self, y, y_lengths, sid_src, sid_tgt, deterministic: bool = True):
@@ -709,5 +709,5 @@ class SynthesizerTrn(nn.Module):
         z, m_q, logs_q, y_mask = self.enc_q(y, y_lengths, g=g_src, deterministic=deterministic)
         z_p = self.flow(z, y_mask, g=g_src, deterministic=deterministic)
         z_hat = self.flow(z_p, y_mask, g=g_tgt, reverse=True, deterministic=deterministic)
-        o_hat = self.dec(z_hat * y_mask, g=g_tgt)
+        o_hat = self.dec(z_hat * y_mask, g=g_tgt, x_mask=y_mask)
         return o_hat, y_mask, (z, z_p, z_hat)

@@ -97,30 +97,50 @@ class Generator(nn.Module):
     gin_channels: int = 0
 
     @nn.compact
-    def __call__(self, x, g: Optional[jnp.ndarray] = None):
-        """x: [B, T, C_in] latent frames -> [B, T * prod(rates), 1] waveform."""
+    def __call__(self, x, g: Optional[jnp.ndarray] = None,
+                 x_mask: Optional[jnp.ndarray] = None):
+        """x: [B, T, C_in] latent frames -> [B, T * prod(rates), 1] waveform.
+
+        x_mask [B, T, 1] (optional): when decoding a padded batch, masking is
+        threaded through every upsample stage so outputs inside each item's
+        valid region are bit-equal to decoding that item unpadded (the
+        reference decodes exact lengths; a bias-valued tail would otherwise
+        leak into the last receptive field).
+        """
         num_kernels = len(self.resblock_kernel_sizes)
         res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
 
+        if x_mask is not None:
+            x = x * x_mask
         x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
         if g is not None:
             x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
+        if x_mask is not None:
+            x = x * x_mask
 
+        mask = x_mask
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = leaky_relu(x)
+            if mask is not None:
+                x = x * mask
             x = ConvTranspose1d(
                 ch, k, stride=u, padding=(k - u) // 2, weight_norm=True,
                 name=f"up_{i}",
             )(x)
+            if mask is not None:
+                mask = jnp.repeat(mask, u, axis=1)
+                x = x * mask
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
                 block = res_cls(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")
-                xs = block(x) if xs is None else xs + block(x)
+                xs = block(x, mask) if xs is None else xs + block(x, mask)
             x = xs / num_kernels
 
         x = leaky_relu(x, 0.01)  # final activation uses torch's default slope
+        if mask is not None:
+            x = x * mask
         x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
         return jnp.tanh(x)
