@@ -209,3 +209,49 @@ def test_full_infer_parity_plain_flows(ref_models, rng):
     ours_wav = np.asarray(audio)[0, : n_frames * 8, 0]
     ref_wav = o_t[0, 0, : n_frames * 8].numpy()
     np.testing.assert_allclose(ours_wav, ref_wav, rtol=1e-3, atol=2e-4)
+
+
+def test_discriminator_parity(ref_models, rng):
+    """MultiPeriodDiscriminator logits + feature maps match the reference."""
+    import torch as T
+
+    from torch_tts_tpu.models.vits2 import MultiPeriodDiscriminator
+    from torch_tts_tpu.models.vits2.convert import (
+        convert_mpd,
+        export_mpd_torch_state_dict,
+    )
+
+    B, L = 2, 441  # odd length exercises the period reflect-padding
+    y = rng.standard_normal((B, L, 1)).astype(np.float32)
+    y_hat = rng.standard_normal((B, L, 1)).astype(np.float32)
+
+    mpd = MultiPeriodDiscriminator()
+    variables = mpd.init(jax.random.PRNGKey(0), jnp.asarray(y), jnp.asarray(y_hat))
+    params = jax.device_get(variables["params"])
+
+    sd = export_mpd_torch_state_dict(params)
+    ref_d = ref_models.MultiPeriodDiscriminator(use_spectral_norm=False)
+    missing, unexpected = ref_d.load_state_dict(
+        {k: T.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not missing, missing[:8]
+    assert not unexpected, unexpected[:8]
+    ref_d.eval()
+
+    ours_r, ours_g, fr, fg = mpd.apply(
+        {"params": params}, jnp.asarray(y), jnp.asarray(y_hat)
+    )
+    with T.no_grad():
+        ref_r, ref_g, ref_fr, ref_fg = ref_d(
+            T.from_numpy(y.transpose(0, 2, 1)), T.from_numpy(y_hat.transpose(0, 2, 1))
+        )
+    assert len(ours_r) == len(ref_r) == 6
+    for a, b in zip(ours_r, ref_r):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=1e-3, atol=1e-4)
+    for a, b in zip(ours_g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=1e-3, atol=1e-4)
+
+    # roundtrip back into flax
+    back, report = convert_mpd(sd)
+    assert report["missing"] == [] and report["unused"] == []

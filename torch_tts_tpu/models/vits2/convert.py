@@ -361,6 +361,84 @@ def _prune_none(tree):
     return tree
 
 
+def convert_mpd(state_dict: Dict[str, Any], periods=(2, 3, 5, 7, 11)) -> Tuple[Dict, Dict]:
+    """torch MultiPeriodDiscriminator state_dict -> flax params
+    (models.py:977-1110). Handles weight-norm conv1d (DiscriminatorS) and
+    conv2d (DiscriminatorP) layouts; spectral-norm checkpoints store
+    weight_orig/u which are mapped onto the kernel directly."""
+    cv = Converter(state_dict)
+    params: Dict[str, Any] = {}
+
+    def conv_any(tkey: str, is2d: bool) -> Dict:
+        out: Dict[str, Any] = {}
+        tr = conv2d_w if is2d else conv1d_w
+        if f"{tkey}.weight_g" in cv.sd:
+            out["g"] = cv.take(f"{tkey}.weight_g").reshape(-1)
+            out["v"] = cv.take(f"{tkey}.weight_v", tr)
+        elif f"{tkey}.weight_orig" in cv.sd:  # spectral norm
+            out["kernel"] = cv.take(f"{tkey}.weight_orig", tr)
+            if f"{tkey}.weight_u" in cv.sd:
+                cv.used.add(f"{tkey}.weight_u")  # power-iter state: re-estimated
+            if f"{tkey}.weight_v" in cv.sd:
+                cv.used.add(f"{tkey}.weight_v")
+        else:
+            out["kernel"] = cv.take(f"{tkey}.weight", tr)
+        b = cv.take(f"{tkey}.bias")
+        if b is not None:
+            out["bias"] = b
+        return out
+
+    # discriminators.0 = DiscriminatorS (6 conv1d + conv_post)
+    s = {}
+    for j in range(6):
+        s[f"conv_{j}"] = conv_any(f"discriminators.0.convs.{j}", is2d=False)
+    s["conv_post"] = conv_any("discriminators.0.conv_post", is2d=False)
+    params["disc_s"] = s
+
+    for i, p in enumerate(periods, start=1):
+        d = {}
+        for j in range(5):
+            d[f"conv_{j}"] = conv_any(f"discriminators.{i}.convs.{j}", is2d=True)
+        d["conv_post"] = conv_any(f"discriminators.{i}.conv_post", is2d=True)
+        params[f"disc_p{p}"] = d
+
+    report = {"missing": cv.missing, "unused": cv.unused_keys()}
+    return params, report
+
+
+def export_mpd_torch_state_dict(params: Dict[str, Any],
+                                periods=(2, 3, 5, 7, 11)) -> Dict[str, np.ndarray]:
+    """Inverse: flax MPD params -> reference-format torch state_dict."""
+    out: Dict[str, np.ndarray] = {}
+
+    def emit(tkey: str, tree: Dict, is2d: bool):
+        if "v" in tree:
+            v = _t(tree["v"])
+            inv = v.transpose(3, 2, 0, 1) if is2d else v.transpose(2, 1, 0)
+            out[f"{tkey}.weight_v"] = inv
+            g = _t(tree["g"])
+            gshape = (-1, 1, 1, 1) if is2d else (-1, 1, 1)
+            out[f"{tkey}.weight_g"] = g.reshape(gshape)
+        else:
+            k = _t(tree["kernel"])
+            out[f"{tkey}.weight"] = (
+                k.transpose(3, 2, 0, 1) if is2d else k.transpose(2, 1, 0)
+            )
+        if "bias" in tree:
+            out[f"{tkey}.bias"] = _t(tree["bias"])
+
+    s = params["disc_s"]
+    for j in range(6):
+        emit(f"discriminators.0.convs.{j}", s[f"conv_{j}"], is2d=False)
+    emit("discriminators.0.conv_post", s["conv_post"], is2d=False)
+    for i, p in enumerate(periods, start=1):
+        d = params[f"disc_p{p}"]
+        for j in range(5):
+            emit(f"discriminators.{i}.convs.{j}", d[f"conv_{j}"], is2d=True)
+        emit(f"discriminators.{i}.conv_post", d["conv_post"], is2d=True)
+    return out
+
+
 def export_torch_state_dict(params: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
     """Inverse direction: flax params -> reference-format torch state_dict
     (so models trained here can be consumed by reference tooling). Walks the
