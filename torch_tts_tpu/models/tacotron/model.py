@@ -272,6 +272,40 @@ class Decoder(nn.Module):
                             dim_att=self.dim_att)
         self.fc_mel = Dense(self.r * self.dim_mel)
         self.fc_stop = Dense(self.r)
+        # learned initial RNN states (reference: decoder_cell.py
+        # initial_decoder_h/c ParameterLists, :92-97 and :160-162)
+        if self.cell_type == "tacotron2":
+            dims = tuple(self.dim_rnn)
+        elif self.cell_type == "tacotron2prod":
+            dims = (self.dim_rnn[0], self.dim_rnn[1])
+        else:
+            dims = ()
+        self.init_h = [
+            self.param(f"init_h_{i}", nn.initializers.zeros, (1, d))
+            for i, d in enumerate(dims)
+        ]
+        self.init_c = [
+            self.param(f"init_c_{i}", nn.initializers.zeros, (1, d))
+            for i, d in enumerate(dims)
+        ]
+
+    def _initial_state(self, B: int, L: int, dtype):
+        from torch_tts_tpu.ops.tacotron_attention import initial_att_weights
+
+        w0 = initial_att_weights(B, L, dtype)
+        bc = lambda p: jnp.broadcast_to(p.astype(dtype), (B, p.shape[1]))
+        if self.cell_type == "tacotron2prod":
+            ctx0 = jnp.zeros((B, self.dim_ctx), dtype)
+            h_att = (bc(self.init_h[0]), bc(self.init_c[0]))
+            h_dec = (bc(self.init_h[1]), bc(self.init_c[1]))
+            return (w0, ctx0, (h_att, h_dec))
+        if self.cell_type == "tacotron2":
+            h_dec = tuple(
+                (bc(self.init_h[i]), bc(self.init_c[i]))
+                for i in range(len(self.dim_rnn))
+            )
+            return (w0, h_dec)
+        return self.cell.initial_state(B, L, dtype)
 
     def __call__(
         self,
@@ -308,7 +342,7 @@ class Decoder(nn.Module):
         else:
             coin = jnp.ones((S,), bool) if teacher else jnp.zeros((S,), bool)
 
-        state0 = self.cell.initial_state(B, L, memory.dtype)
+        state0 = self._initial_state(B, L, memory.dtype)
         y0 = jnp.zeros((B, self.dim_mel), memory.dtype)
 
         def step(carry, inp):
