@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -28,6 +30,10 @@ def main():
     from torch_tts_tpu.train.vits2_train import create_train_state, make_train_step
 
     cfg = VITS2Config()
+    if "--bf16" in sys.argv:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, use_bf16=True)
+        )
     model = SynthesizerTrn(
         n_vocab=len(symbols), spec_channels=cfg.posterior_channels,
         segment_frames=cfg.segment_frames, cfg=cfg.model,

@@ -174,3 +174,41 @@ def test_full_teacher_forced_parity(ref_taco, rng):
     np.testing.assert_allclose(
         np.asarray(aux["w"]), aux_t["w"].numpy(), rtol=1e-3, atol=1e-4
     )
+
+
+def test_free_running_inference_parity(ref_taco, rng):
+    """Free-running decode parity (stop logits drive both loops; dropout
+    patched out on both sides so the AR rollout is deterministic)."""
+    ours, variables, ref, (cond, cond_lengths, x, x_lengths) = build_pair(ref_taco, rng)
+    MAX_STEPS = 6
+
+    with _no_dropout_ours():
+        y, y_post, s, aux = ours.apply(
+            variables, cond, cond_lengths, max_steps=MAX_STEPS,
+            train=False, deterministic=True,
+            rngs={"dropout": jax.random.PRNGKey(0),
+                  "noise": jax.random.PRNGKey(1)},
+        )
+
+    real_dropout = torch.dropout
+    with torch.no_grad(), \
+         mock.patch.object(torch, "dropout", lambda x_, p, train: x_):
+        y_t, y_post_t, s_t, aux_t = ref(
+            torch.from_numpy(np.asarray(cond)).long(),
+            torch.from_numpy(np.asarray(cond_lengths)).long(),
+            max_steps=MAX_STEPS,
+        )
+    torch.dropout = real_dropout
+
+    # the reference stops when any item crosses the threshold; with random
+    # weights that's usually never before max_steps — compare the overlap
+    T_ref = y_t.shape[1]
+    T_cmp = min(T_ref, y.shape[1])
+    np.testing.assert_allclose(
+        np.asarray(y)[:, :T_cmp], y_t.numpy()[:, :T_cmp], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux["w"])[:, : T_cmp // 2],
+        aux_t["w"].numpy()[:, : T_cmp // 2],
+        rtol=1e-3, atol=1e-4,
+    )

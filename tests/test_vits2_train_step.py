@@ -175,3 +175,15 @@ def test_train_step_multispeaker(rng):
     emb_before = np.asarray(state.params_g["emb_g"]["embedding"])
     emb_after = np.asarray(new_state.params_g["emb_g"]["embedding"])
     assert np.abs(emb_before - emb_after).max() > 0
+
+
+def test_train_step_bf16(rng):
+    """bf16 compute path: fp32 master params, finite losses."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, use_bf16=True)
+    )
+    model, mpd, dd, batch, state, step_fn = build_all(cfg, rng)
+    new_state, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss/g/total"]))
+    assert jax.tree.leaves(new_state.params_g)[0].dtype == jnp.float32

@@ -107,7 +107,9 @@ class VITS2TrainConfig:
     segment_size: int = 8192
     c_mel: float = 45.0
     c_kl: float = 1.0
-    use_bf16: bool = True
+    # bf16 compute / fp32 params+losses (the TPU analogue of the reference's
+    # AMP, vits2/train.py:255,331 — no loss scaling needed on TPU)
+    use_bf16: bool = False
     epochs: int = 20000
     log_interval: int = 200
     eval_interval: int = 1000

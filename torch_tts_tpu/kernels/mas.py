@@ -113,7 +113,8 @@ def maximum_path(
     """
     t_ys = jnp.sum(mask[:, :, 0].astype(jnp.int32), axis=1)
     t_xs = jnp.sum(mask[:, 0, :].astype(jnp.int32), axis=1)
-    neg_cent = jnp.where(mask > 0, neg_cent, MAX_NEG)
+    # the DP accumulates along T_y; run it in fp32 even under bf16 training
+    neg_cent = jnp.where(mask > 0, neg_cent.astype(jnp.float32), MAX_NEG)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:

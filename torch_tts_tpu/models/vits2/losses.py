@@ -12,7 +12,8 @@ def feature_loss(fmap_r, fmap_g):
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss += jnp.mean(jnp.abs(jax.lax.stop_gradient(rl) - gl))
+            rl = jax.lax.stop_gradient(rl).astype(jnp.float32)
+            loss += jnp.mean(jnp.abs(rl - gl.astype(jnp.float32)))
     return loss * 2.0
 
 

@@ -134,6 +134,18 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
     c_mel = cfg.train.c_mel
     c_kl = cfg.train.c_kl
     multispeaker = cfg.model.n_speakers > 1
+    use_bf16 = cfg.train.use_bf16
+
+    def _cast(tree):
+        """fp32 -> bf16 for network compute; master params stay fp32."""
+        if not use_bf16:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
 
     def _mel_of_wav(wav_sq):  # [B, L] -> [B, T, n_mels]
         return melmod.mel_spectrogram(
@@ -161,8 +173,8 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
 
         def gen_forward(params_g):
             return model.apply(
-                {"params": params_g},
-                x, x_lengths, spec, spec_lengths, sid=sid,
+                {"params": _cast(params_g)},
+                x, x_lengths, _cast(spec), spec_lengths, sid=sid,
                 mas_noise_scale=mas_noise, deterministic=False, rngs=g_rngs,
             )
 
@@ -182,7 +194,9 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
         y_hat_sg = jax.lax.stop_gradient(y_hat)
 
         def d_loss_fn(params_d):
-            y_d_r, y_d_g, _, _ = mpd.apply({"params": params_d}, y_slice, y_hat_sg)
+            y_d_r, y_d_g, _, _ = mpd.apply(
+                {"params": _cast(params_d)}, _cast(y_slice), y_hat_sg
+            )
             loss_disc, r_l, g_l = discriminator_loss(y_d_r, y_d_g)
             return loss_disc, (r_l, g_l)
 
@@ -203,7 +217,7 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
 
             def dur_loss_fn(p):
                 prob_r, prob_g = dur_disc.apply(
-                    {"params": p}, hx_sg, xm_sg, logw__sg, logw_sg
+                    {"params": _cast(p)}, hx_sg, xm_sg, logw__sg, logw_sg
                 )
                 loss, _, _ = discriminator_loss([prob_r], [prob_g])
                 return loss
@@ -224,12 +238,12 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
             z2, z_p2, m_p2, logs_p2, m_q2, logs_q2 = latents2
             y_mel2 = slice_segments(mel, ids2, seg_frames)
             y_slice2 = slice_segments(wav, ids2 * hop, seg_samples)
-            y_hat_mel = _mel_of_wav(y_hat2[..., 0])
+            y_hat_mel = _mel_of_wav(y_hat2[..., 0].astype(jnp.float32))
 
             _, y_d_g, fmap_r, fmap_g = mpd.apply(
-                {"params": params_d}, y_slice2, y_hat2
+                {"params": _cast(params_d)}, _cast(y_slice2), y_hat2
             )
-            loss_dur = jnp.sum(l_length2)
+            loss_dur = jnp.sum(l_length2.astype(jnp.float32))
             loss_mel = jnp.mean(jnp.abs(y_mel2 - y_hat_mel)) * c_mel
             loss_kl = kl_loss(z_p2, logs_q2, m_p2, logs_p2, z_mask2) * c_kl
             loss_fm = feature_loss(fmap_r, fmap_g)
@@ -237,7 +251,7 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
             loss_all = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl
             if dur_disc is not None:
                 prob_r, prob_g = dur_disc.apply(
-                    {"params": params_dur}, _hx2, _xm, logw_2, logw2
+                    {"params": _cast(params_dur)}, _hx2, _xm, logw_2, logw2
                 )
                 loss_dur_gen, _ = generator_loss([prob_g])
                 loss_all = loss_all + loss_dur_gen
