@@ -155,3 +155,44 @@ def test_vits2_export_roundtrip(rng, tmp_path):
         jnp.asarray([0.667, 1.0, 0.8], jnp.float32),
     )
     assert audio.shape == (1, MAX_F * HOP, 1)
+
+
+def test_vits2_savedmodel_export(rng, tmp_path):
+    """jax2tf SavedModel round-trip (the ONNX-deployment analogue)."""
+    tf = pytest.importorskip("tensorflow")
+    from torch_tts_tpu.infer.export import export_vits2_savedmodel
+    from torch_tts_tpu.models.vits2 import SynthesizerTrn
+
+    cfg = vits2_tiny_cfg()
+    model = SynthesizerTrn(n_vocab=30, spec_channels=cfg.posterior_channels,
+                           segment_frames=cfg.segment_frames, cfg=cfg.model)
+    T_x, MAX_F = 12, 16
+    x = jnp.asarray(rng.integers(1, 30, (1, T_x)), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(
+        rngs, x, jnp.asarray([T_x], jnp.int32),
+        max_frames=MAX_F, method=SynthesizerTrn.infer,
+    )
+    out_dir = str(tmp_path / "savedmodel")
+    export_vits2_savedmodel(model, variables["params"], out_dir,
+                            max_text_len=T_x, max_frames=MAX_F)
+
+    loaded = tf.saved_model.load(out_dir)
+    res = loaded.serving(
+        tf.constant(np.asarray(x), tf.int32),
+        tf.constant([T_x], tf.int32),
+        tf.constant([0.0, 1.0, 0.0], tf.float32),
+    )
+    assert res["audio"].shape == (1, MAX_F * HOP, 1)
+
+    # numerical agreement with the jax path (deterministic: zero noise)
+    audio_jax, *_ = model.apply(
+        variables, x, jnp.asarray([T_x], jnp.int32),
+        noise_scale=0.0, noise_scale_w=0.0, length_scale=1.0,
+        max_frames=MAX_F, method=SynthesizerTrn.infer,
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(
+        res["audio"].numpy(), np.asarray(audio_jax), rtol=1e-3, atol=1e-4
+    )

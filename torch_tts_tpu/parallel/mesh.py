@@ -55,3 +55,28 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate a pytree (parameters, optimizer state) over the mesh."""
     s = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host (multi-slice / DCN) initialization.
+
+    The reference's analogue is the env-var NCCL rendezvous
+    (MASTER_ADDR/MASTER_PORT + init_process_group, vits2/train.py:44-69).
+    On TPU pods `jax.distributed.initialize()` discovers everything from the
+    environment; arguments are only needed off-TPU. After this, jax.devices()
+    spans all hosts and the same `make_mesh()` + sharded-batch training code
+    runs unchanged — gradient psums ride ICI within a slice and DCN across
+    slices.
+
+    Each host must feed its own batch shard (use DistributedBucketSampler
+    with num_replicas=jax.process_count(), rank=jax.process_index()).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

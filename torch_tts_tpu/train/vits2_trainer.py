@@ -150,7 +150,28 @@ class VITS2Trainer:
                     profiling = True
                 batch = self._make_batch(pad_frames, idxs)
                 self.rng, sub = jax.random.split(self.rng)
-                self.state, metrics = self.step_fn(self.state, batch, sub)
+                new_state, metrics = self.step_fn(self.state, batch, sub)
+                # failure detection the reference lacks (SURVEY.md §5): a
+                # non-finite loss drops the update instead of poisoning the
+                # run; persistent NaNs abort with the last good checkpoint.
+                loss = float(jax.device_get(metrics["loss/g/total"]))
+                if not np.isfinite(loss):
+                    self._nan_streak = getattr(self, "_nan_streak", 0) + 1
+                    logger.warning(
+                        "non-finite loss at step %d (streak %d) — skipping update",
+                        step, self._nan_streak,
+                    )
+                    if self._nan_streak >= 10:
+                        ckpt.save_checkpoint(
+                            self.model_dir, step, self.state,
+                            keep=cfg.train.keep_ckpts,
+                        )
+                        raise FloatingPointError(
+                            "10 consecutive non-finite losses; state saved"
+                        )
+                    continue
+                self._nan_streak = 0
+                self.state = new_state
                 step += 1
                 if profiling and step >= profile_steps[1]:
                     jax.block_until_ready(metrics)
