@@ -196,3 +196,24 @@ def test_vits2_savedmodel_export(rng, tmp_path):
     np.testing.assert_allclose(
         res["audio"].numpy(), np.asarray(audio_jax), rtol=1e-3, atol=1e-4
     )
+
+
+def test_vits2_trainer_native_loader(tmp_path, rng):
+    """Training through the C++ prefetching batcher (libttsrt)."""
+    from torch_tts_tpu.data import native
+    if not native.available():
+        pytest.skip("libttsrt not built")
+    from torch_tts_tpu.data.dataset import TextAudioDataset
+    from torch_tts_tpu.train.vits2_trainer import VITS2Trainer
+
+    cfg = vits2_tiny_cfg()
+    root = make_synth_ljspeech(tmp_path / "ds", rng)
+    ds = TextAudioDataset.from_ljspeech(root, cfg.audio, cfg.data, use_mel=True)
+    run_dir = str(tmp_path / "run_native")
+    trainer = VITS2Trainer(
+        cfg, run_dir, ds, use_mesh=False,
+        bucket_boundaries=[4, 40], pad_text_to=32, eval_max_frames=16,
+        use_native_loader=True, native_workers=2,
+    )
+    trainer.train(epochs=1)
+    assert int(jax.device_get(trainer.state.step)) >= 4

@@ -70,8 +70,13 @@ class VITS2Trainer:
         bucket_boundaries: Optional[list] = None,
         pad_text_to: Optional[int] = None,
         eval_max_frames: int = 1000,
+        use_native_loader: bool = False,
+        native_workers: int = 4,
     ):
         self.eval_max_frames = eval_max_frames
+        self.use_native_loader = use_native_loader
+        self.native_workers = native_workers
+        self._native_batchers = {}
         self.cfg = cfg
         self.model_dir = model_dir
         self.train_dataset = train_dataset
@@ -129,6 +134,40 @@ class VITS2Trainer:
             batch = shard_batch(batch, self.mesh)
         return batch
 
+    # -- native (C++) prefetching data path --------------------------------
+
+    def _native_batcher(self, pad_frames: int):
+        """One libttsrt batcher per bucket (static padded shape)."""
+        from torch_tts_tpu.data.native import NativeBatcher
+
+        nb = self._native_batchers.get(pad_frames)
+        if nb is None:
+            nb = NativeBatcher(
+                self.cfg.audio, self.cfg.train.batch_size, pad_frames,
+                self.pad_text, num_workers=self.native_workers,
+            )
+            for it in self.train_dataset.items:
+                nb.add_item(it.audio_path, self.train_dataset.get_text_ids(it.text))
+            self._native_batchers[pad_frames] = nb
+        return nb
+
+    def _native_epoch(self, schedule):
+        """Iterate (pad_frames, idxs) with one batch of lookahead per bucket:
+        decode/extract runs on the C++ worker pool while the TPU steps."""
+        schedule = list(schedule)
+        for pad_frames, idxs in schedule[:1]:
+            self._native_batcher(pad_frames).submit(list(idxs))
+        for k, (pad_frames, idxs) in enumerate(schedule):
+            nxt = schedule[k + 1] if k + 1 < len(schedule) else None
+            if nxt is not None:
+                self._native_batcher(nxt[0]).submit(list(nxt[1]))
+            batch = self._native_batcher(pad_frames).next_batch()
+            if batch is None:
+                continue
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            yield pad_frames, batch
+
     def train(self, epochs: Optional[int] = None,
               profile_steps: Optional[tuple] = None,
               profile_dir: Optional[str] = None) -> None:
@@ -142,13 +181,18 @@ class VITS2Trainer:
         profiling = False
         for epoch in range(1, epochs + 1):
             self.sampler.set_epoch(epoch)
-            for pad_frames, idxs in self.sampler:
+            if self.use_native_loader:
+                epoch_iter = self._native_epoch(self.sampler)
+            else:
+                epoch_iter = (
+                    (pf, self._make_batch(pf, idxs)) for pf, idxs in self.sampler
+                )
+            for pad_frames, batch in epoch_iter:
                 if profile_steps and step == profile_steps[0] and not profiling:
                     jax.profiler.start_trace(
                         profile_dir or os.path.join(self.model_dir, "profile")
                     )
                     profiling = True
-                batch = self._make_batch(pad_frames, idxs)
                 self.rng, sub = jax.random.split(self.rng)
                 new_state, metrics = self.step_fn(self.state, batch, sub)
                 # failure detection the reference lacks (SURVEY.md §5): a
