@@ -1,0 +1,80 @@
+"""Synthesizer serving API: bucketed batched synthesis, determinism, and
+reference-checkpoint ingestion path."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from torch_tts_tpu.core.config import (
+    AudioConfig,
+    DataConfig,
+    VITS2Config,
+    VITS2ModelConfig,
+    VITS2TrainConfig,
+)
+from torch_tts_tpu.infer.serving import Synthesizer
+from torch_tts_tpu.models.vits2 import SynthesizerTrn
+
+HOP = 64
+
+
+@pytest.fixture(scope="module")
+def synth():
+    model_cfg = VITS2ModelConfig(
+        inter_channels=16, hidden_channels=16, filter_channels=32, n_heads=2,
+        n_layers=1, kernel_size=3, p_dropout=0.1, resblock="2",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(8, 8), upsample_initial_channel=32,
+        upsample_kernel_sizes=(16, 16), segment_size=4 * HOP,
+    )
+    audio = AudioConfig(sampling_rate=8000, filter_length=128, hop_length=HOP,
+                        win_length=128, n_mel_channels=20)
+    cfg = VITS2Config(
+        audio=audio, model=model_cfg, train=VITS2TrainConfig(),
+        data=DataConfig(text_cleaners=("basic_cleaners",), add_blank=True),
+    )
+    from torch_tts_tpu.train.vits2_trainer import build_models
+    from torch_tts_tpu.text import symbols
+
+    model, _, _ = build_models(cfg)
+    x = jnp.zeros((1, 8), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, x, jnp.asarray([8], jnp.int32), max_frames=16,
+                           method=SynthesizerTrn.infer)
+    return Synthesizer(cfg, variables["params"],
+                       buckets=((16, 24), (80, 96)))
+
+
+def test_batched_bucketed_synthesis(synth):
+    texts = ["hi", "hello there", "a somewhat longer sentence here"]
+    results = synth.synthesize(texts, seed=7)
+    assert len(results) == 3
+    for r in results:
+        assert r.sample_rate == 8000
+        assert r.audio.ndim == 1 and len(r.audio) > 0
+        assert np.all(np.abs(r.audio) <= 1.0)
+    # only two executables compiled (one per bucket used)
+    assert len(synth._infer_cache) <= 2
+
+
+def test_determinism(synth):
+    a = synth.synthesize(["hello world"], seed=3)[0].audio
+    b = synth.synthesize(["hello world"], seed=3)[0].audio
+    c = synth.synthesize(["hello world"], seed=4)[0].audio
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_too_long_raises(synth):
+    with pytest.raises(ValueError):
+        synth.synthesize(["x " * 200])
+
+
+def test_attn_return(synth):
+    r = synth.synthesize(["hello"], return_attn=True)[0]
+    assert r.attn is not None and r.attn.ndim == 2

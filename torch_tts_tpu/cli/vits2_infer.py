@@ -21,7 +21,10 @@ def main():
     p.add_argument("-c", "--config", required=True)
     p.add_argument("-m", "--model-dir", required=True,
                    help="run dir (latest checkpoint) or a checkpoint file")
-    p.add_argument("--text", required=True)
+    p.add_argument("--text", default=None)
+    p.add_argument("--text-file", default=None,
+                   help="file with one text per line; batch-synthesizes via "
+                        "the bucketed serving API into out_000.wav, ...")
     p.add_argument("-o", "--output", default="out.wav")
     p.add_argument("--sid", type=int, default=None)
     p.add_argument("--noise-scale", type=float, default=0.667)
@@ -45,6 +48,27 @@ def main():
 
     cfg = load_vits2_config(args.config)
     model, _, _ = build_models(cfg)
+
+    if args.text_file:
+        from torch_tts_tpu.infer.serving import Synthesizer
+
+        texts = [l.strip() for l in open(args.text_file) if l.strip()]
+        synth = Synthesizer.from_run_dir(args.config, args.model_dir)
+        sids = [args.sid] * len(texts) if args.sid is not None else None
+        results = synth.synthesize(
+            texts, noise_scale=args.noise_scale,
+            noise_scale_w=args.noise_scale_w, length_scale=args.length_scale,
+            sid=sids, seed=args.seed,
+        )
+        stem = args.output[:-4] if args.output.endswith(".wav") else args.output
+        for i, r in enumerate(results):
+            path = f"{stem}_{i:03d}.wav"
+            wavfile.write(path, r.sample_rate,
+                          (np.clip(r.audio, -1, 1) * 32767).astype(np.int16))
+            print(f"wrote {path}: {len(r.audio) / r.sample_rate:.2f}s")
+        return
+    if not args.text:
+        p.error("--text or --text-file is required")
 
     ids = text_to_sequence(args.text, list(cfg.data.text_cleaners))
     if cfg.data.add_blank:
