@@ -65,7 +65,8 @@ def main():
     t0 = time.perf_counter()
     for i in range(n):
         out = infer(variables, cond, cond_lengths, jax.random.PRNGKey(i))
-        jax.block_until_ready(out)
+        np.asarray(out[0])  # forced readback: block_until_ready does not
+                            # await on the tunneled platform
     dt = (time.perf_counter() - t0) / n
     frames = MAX_STEPS * cfg.model.r
     fps = frames / dt

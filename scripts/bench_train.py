@@ -71,11 +71,14 @@ def main():
     t0 = time.perf_counter()
     for i in range(n):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(metrics["loss/g/total"])
+    # NOTE: block_until_ready does not await on the tunneled platform; a
+    # value fetch of the final loss forces the whole 20-step chain (each
+    # step consumes the previous state)
+    final_loss = float(np.asarray(metrics["loss/g/total"]))
     dt = (time.perf_counter() - t0) / n
     print(
         f"step: {dt*1e3:.1f} ms -> {1/dt:.2f} steps/s "
-        f"({B/dt:.1f} utts/s, loss {float(metrics['loss/g/total']):.2f})",
+        f"({B/dt:.1f} utts/s, loss {final_loss:.2f})",
         file=sys.stderr,
     )
     print(json.dumps({
