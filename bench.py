@@ -26,7 +26,13 @@ def main():
     from torch_tts_tpu.models.vits2 import SynthesizerTrn
     from torch_tts_tpu.text import symbols
 
+    import dataclasses
+
     cfg = VITS2Config()
+    # exact-equivalent space-to-depth packing of the narrow HiFi-GAN tail
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, pack_narrow_convs=True)
+    )
     a = cfg.audio
     model = SynthesizerTrn(
         n_vocab=len(symbols),

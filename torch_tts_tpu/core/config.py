@@ -73,6 +73,9 @@ class VITS2ModelConfig:
     use_mel_posterior_encoder: bool = True
     use_duration_discriminator: bool = False
     duration_discriminator_type: str = "dur_disc_1"
+    # TPU perf: space-to-depth packing of the HiFi-GAN tail (exact-equivalent
+    # outputs; see ops/packed_conv.py)
+    pack_narrow_convs: bool = False
 
     segment_size: int = 8192  # in samples
 

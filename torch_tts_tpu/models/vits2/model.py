@@ -560,6 +560,7 @@ class SynthesizerTrn(nn.Module):
             upsample_initial_channel=c.upsample_initial_channel,
             upsample_kernel_sizes=tuple(c.upsample_kernel_sizes),
             gin_channels=c.gin_channels,
+            pack_narrow=getattr(c, "pack_narrow_convs", False),
         )
         self.enc_q = PosteriorEncoder(
             c.inter_channels, c.hidden_channels, 5, 1, 16, gin_channels=c.gin_channels

@@ -29,6 +29,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
+    pack: int = 1  # space-to-depth factor for narrow channels (exact equiv)
 
     @nn.compact
     def __call__(self, x, x_mask=None):
@@ -42,6 +43,7 @@ class ResBlock1(nn.Module):
                 padding=_get_padding(self.kernel_size, d),
                 dilation=d,
                 weight_norm=True,
+                pack=self.pack,
                 name=f"conv1_{j}",
             )(xt)
             xt = leaky_relu(xt)
@@ -52,6 +54,7 @@ class ResBlock1(nn.Module):
                 self.kernel_size,
                 padding=_get_padding(self.kernel_size, 1),
                 weight_norm=True,
+                pack=self.pack,
                 name=f"conv2_{j}",
             )(xt)
             x = xt + x
@@ -64,6 +67,7 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3)
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x, x_mask=None):
@@ -77,6 +81,7 @@ class ResBlock2(nn.Module):
                 padding=_get_padding(self.kernel_size, d),
                 dilation=d,
                 weight_norm=True,
+                pack=self.pack,
                 name=f"conv_{j}",
             )(xt)
             x = xt + x
@@ -95,6 +100,8 @@ class Generator(nn.Module):
     upsample_initial_channel: int = 512
     upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
     gin_channels: int = 0
+    # pack narrow late stages (C < 128) into full lanes; exact-equivalent
+    pack_narrow: bool = False
 
     @nn.compact
     def __call__(self, x, g: Optional[jnp.ndarray] = None,
@@ -131,11 +138,15 @@ class Generator(nn.Module):
             if mask is not None:
                 mask = jnp.repeat(mask, u, axis=1)
                 x = x * mask
+            pack = 1
+            if self.pack_narrow and ch < 128:
+                pack = max(1, 128 // ch)
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                block = res_cls(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")
+                block = res_cls(ch, rk, tuple(rd), pack=pack,
+                                name=f"resblock_{i}_{j}")
                 xs = block(x, mask) if xs is None else xs + block(x, mask)
             x = xs / num_kernels
 

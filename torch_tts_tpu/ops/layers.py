@@ -113,6 +113,10 @@ class Conv1d(nn.Module):
     spectral_norm: bool = False
     kernel_init: Optional[nn.initializers.Initializer] = None
     zero_init: bool = False  # reference zero-inits several projection convs
+    # space-to-depth packing factor (ops/packed_conv.py): >1 computes the
+    # same conv on [L/P, P*C] tensors to fill the 128-wide lanes when C is
+    # narrow. Requires 'same' padding, stride 1, no groups, L % pack == 0.
+    pack: int = 1
 
     def _kernel(self, in_ch: int):
         k = self.kernel_size
@@ -144,6 +148,22 @@ class Conv1d(nn.Module):
     def __call__(self, x):
         in_ch = x.shape[-1]
         kernel, fan_in = self._kernel(in_ch)
+        if self.pack > 1:
+            assert self.stride == 1 and self.groups == 1
+            assert self.padding == (self.kernel_size * self.dilation - self.dilation) // 2, \
+                "pack>1 requires 'same' padding"
+            from torch_tts_tpu.ops.packed_conv import packed_conv1d
+
+            bias = None
+            if self.use_bias:
+                binit = (nn.initializers.zeros if self.zero_init
+                         else torch_uniform_init(fan_in))
+                bias = self.param("bias", binit, (self.features,))
+            return packed_conv1d(
+                x, kernel.astype(x.dtype),
+                bias.astype(x.dtype) if bias is not None else None,
+                self.dilation, self.pack,
+            )
         pad = self.padding
         if isinstance(pad, int):
             pad = (pad, pad)
