@@ -187,3 +187,18 @@ def test_train_step_bf16(rng):
     new_state, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss/g/total"]))
     assert jax.tree.leaves(new_state.params_g)[0].dtype == jnp.float32
+
+
+def test_train_step_lightning_order(rng):
+    """cli.py ordering (single generator forward) runs and updates all nets."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, step_order="lightning")
+    )
+    model, mpd, dd, batch, state, step_fn = build_all(cfg, rng)
+    new_state, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss/g/total"]))
+    assert np.isfinite(float(metrics["loss/d/total"]))
+    a = jax.tree.leaves(state.params_g)[0]
+    b = jax.tree.leaves(new_state.params_g)[0]
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0

@@ -113,6 +113,11 @@ class VITS2TrainConfig:
     # bf16 compute / fp32 params+losses (the TPU analogue of the reference's
     # AMP, vits2/train.py:255,331 — no loss scaling needed on TPU)
     use_bf16: bool = False
+    # GAN step ordering: "ddp" = reference train.py (D updates first, G sees
+    # the updated D — costs a second generator forward); "lightning" =
+    # reference cli.py (G updates against the current D, then D updates on
+    # the detached audio — one generator forward, ~25% faster)
+    step_order: str = "ddp"
     epochs: int = 20000
     log_interval: int = 200
     eval_interval: int = 1000

@@ -289,4 +289,127 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
         }
         return new_state, metrics
 
+    def train_step_lightning(state: TrainState, batch, rng: jax.Array):
+        """cli.py ordering (vits2/cli.py:312-356): one generator forward —
+        G updates against the current D, then D trains on the detached audio."""
+        x, x_lengths = batch["x"], batch["x_lengths"]
+        spec, spec_lengths = batch["spec"], batch["spec_lengths"]
+        wav = batch["wav"]
+        sid = batch.get("sid") if multispeaker else None
+        k_noise, k_drop = jax.random.split(jax.random.fold_in(rng, state.step), 2)
+        g_rngs = {"noise": k_noise, "dropout": k_drop}
+        mas_noise = (
+            jnp.maximum(
+                cfg.model.mas_noise_scale_initial
+                - cfg.model.noise_scale_delta * state.step, 0.0,
+            )
+            if use_noise_mas else None
+        )
+        mel = spec if use_mel_post else melmod.spec_to_mel(
+            spec, a.filter_length, a.n_mel_channels, a.sampling_rate,
+            a.mel_fmin, a.mel_fmax,
+        )
+
+        def g_loss_fn(params_g):
+            out = model.apply(
+                {"params": _cast(params_g)},
+                x, x_lengths, _cast(spec), spec_lengths, sid=sid,
+                mas_noise_scale=mas_noise, deterministic=False, rngs=g_rngs,
+            )
+            (y_hat, l_length, _attn, ids, x_mask, z_mask, latents, dur_t) = out
+            hx, logw, logw_ = dur_t
+            _z, z_p, m_p, logs_p, _mq, logs_q = latents
+            y_mel = slice_segments(mel, ids, seg_frames)
+            y_slice = slice_segments(wav, ids * hop, seg_samples)
+            y_hat_mel = _mel_of_wav(y_hat[..., 0].astype(jnp.float32))
+            _, y_d_g, fmap_r, fmap_g = mpd.apply(
+                {"params": _cast(state.params_d)}, _cast(y_slice), y_hat
+            )
+            loss_dur = jnp.sum(l_length.astype(jnp.float32))
+            loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * c_mel
+            loss_kl = kl_loss(z_p, logs_q, m_p, logs_p, z_mask) * c_kl
+            loss_fm = feature_loss(fmap_r, fmap_g)
+            loss_gen, _ = generator_loss(y_d_g)
+            loss_all = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl
+            if dur_disc is not None:
+                _pr, prob_g = dur_disc.apply(
+                    {"params": _cast(state.params_dur)}, hx, x_mask, logw_, logw
+                )
+                loss_dur_gen, _ = generator_loss([prob_g])
+                loss_all = loss_all + loss_dur_gen
+            aux = {
+                "loss/g/total": loss_all,
+                "loss/g/gen": loss_gen,
+                "loss/g/fm": loss_fm,
+                "loss/g/mel": loss_mel,
+                "loss/g/dur": loss_dur,
+                "loss/g/kl": loss_kl,
+                "_y_hat": jax.lax.stop_gradient(y_hat),
+                "_y_slice": jax.lax.stop_gradient(y_slice),
+                "_hx": jax.lax.stop_gradient(hx),
+                "_x_mask": jax.lax.stop_gradient(x_mask),
+                "_logw": jax.lax.stop_gradient(logw),
+                "_logw_": jax.lax.stop_gradient(logw_),
+            }
+            return loss_all, aux
+
+        (loss_g, aux_g), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.params_g
+        )
+        upd_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, upd_g)
+
+        y_hat_sg = aux_g.pop("_y_hat")
+        y_slice = aux_g.pop("_y_slice")
+        hx_sg = aux_g.pop("_hx")
+        xm_sg = aux_g.pop("_x_mask")
+        logw_sg = aux_g.pop("_logw")
+        logw__sg = aux_g.pop("_logw_")
+
+        def d_loss_fn(params_d):
+            y_d_r, y_d_g, _, _ = mpd.apply(
+                {"params": _cast(params_d)}, _cast(y_slice), y_hat_sg
+            )
+            loss_disc, _, _ = discriminator_loss(y_d_r, y_d_g)
+            return loss_disc
+
+        loss_disc, grads_d = jax.value_and_grad(d_loss_fn)(state.params_d)
+        upd_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, upd_d)
+
+        metrics_extra = {}
+        params_dur, opt_dur = state.params_dur, state.opt_dur
+        if dur_disc is not None:
+            def dur_loss_fn(p):
+                prob_r, prob_g = dur_disc.apply(
+                    {"params": _cast(p)}, hx_sg, xm_sg, logw__sg, logw_sg
+                )
+                loss, _, _ = discriminator_loss([prob_r], [prob_g])
+                return loss
+
+            loss_dur_disc, grads_dur = jax.value_and_grad(dur_loss_fn)(params_dur)
+            upd_dur, opt_dur = tx.update(grads_dur, state.opt_dur, params_dur)
+            params_dur = optax.apply_updates(params_dur, upd_dur)
+            metrics_extra = {
+                "loss/dur_disc": loss_dur_disc,
+                "grad_norm_dur_disc": global_norm(grads_dur),
+            }
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params_g=params_g, opt_g=opt_g,
+            params_d=params_d, opt_d=opt_d,
+            params_dur=params_dur, opt_dur=opt_dur,
+        )
+        metrics = {
+            "loss/d/total": loss_disc,
+            "grad_norm_d": global_norm(grads_d),
+            "grad_norm_g": global_norm(grads_g),
+            **aux_g,
+            **metrics_extra,
+        }
+        return new_state, metrics
+
+    if getattr(cfg.train, "step_order", "ddp") == "lightning":
+        return train_step_lightning
     return train_step
