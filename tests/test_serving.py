@@ -78,3 +78,62 @@ def test_too_long_raises(synth):
 def test_attn_return(synth):
     r = synth.synthesize(["hello"], return_attn=True)[0]
     assert r.attn is not None and r.attn.ndim == 2
+
+
+def test_from_run_dir_with_reference_pth(tmp_path, rng):
+    """Synthesizer ingests a torch-saved reference-format G_*.pth end-to-end."""
+    import io
+
+    import torch
+    import yaml
+
+    from torch_tts_tpu.models.vits2.convert import export_torch_state_dict
+    from torch_tts_tpu.train.vits2_trainer import build_models
+
+    # tiny config file the loader can read
+    cfg_dict = {
+        "data": {
+            "text_cleaners": ["basic_cleaners"], "add_blank": True,
+            "sampling_rate": 8000, "filter_length": 128, "hop_length": 64,
+            "win_length": 128, "n_mel_channels": 20,
+        },
+        "model": {
+            "inter_channels": 16, "hidden_channels": 16, "filter_channels": 32,
+            "n_heads": 2, "n_layers": 1, "kernel_size": 3, "p_dropout": 0.1,
+            "resblock": "2", "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3]], "upsample_rates": [8, 8],
+            "upsample_initial_channel": 32, "upsample_kernel_sizes": [16, 16],
+            "segment_size": 256, "use_sdp": True,
+            "use_transformer_flows": True, "transformer_flow_type": "pre_conv",
+        },
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+
+    from torch_tts_tpu.core.config import load_vits2_config
+
+    cfg = load_vits2_config(cfg_path)
+    model, _, _ = build_models(cfg)
+    x = jnp.asarray([[1, 2, 3]], jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(7), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, x, jnp.asarray([3], jnp.int32), max_frames=8,
+                           method=SynthesizerTrn.infer)
+    src_params = jax.device_get(variables["params"])
+
+    # reference-format checkpoint file (vits2/utils.py:48-66 layout)
+    sd = export_torch_state_dict(src_params, cfg.model)
+    sd_t = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    pth = str(tmp_path / "G_1000.pth")
+    torch.save({"model": sd_t, "iteration": 1000, "learning_rate": 2e-4,
+                "optimizer": None}, pth)
+
+    synth = Synthesizer.from_run_dir(cfg_path, pth, buckets=((16, 24),))
+    # weights made it through: compare one deterministic leaf
+    got = np.asarray(synth.params["enc_p"]["emb"]["embedding"])
+    np.testing.assert_allclose(
+        got, np.asarray(src_params["enc_p"]["emb"]["embedding"]), rtol=1e-6
+    )
+    r = synth.synthesize(["hello"], seed=1)[0]
+    assert len(r.audio) > 0

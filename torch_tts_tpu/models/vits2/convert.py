@@ -357,7 +357,10 @@ def convert_synthesizer(state_dict: Dict[str, Any], cfg) -> Tuple[Dict, Dict]:
 def _prune_none(tree):
     if isinstance(tree, dict):
         out = {k: _prune_none(v) for k, v in tree.items()}
-        return {k: v for k, v in out.items() if v is not None and v != {}}
+        return {
+            k: v for k, v in out.items()
+            if v is not None and not (isinstance(v, dict) and not v)
+        }
     return tree
 
 
