@@ -183,3 +183,33 @@ def test_packed_generator_exact_equivalence(rng):
     y1m = gen_plain.apply({"params": params}, x, x_mask=mask)
     y2m = gen_packed.apply({"params": params}, x, x_mask=mask)
     np.testing.assert_allclose(np.asarray(y1m), np.asarray(y2m), rtol=1e-4, atol=1e-5)
+
+
+def test_transformer_decoder_and_fft_blocks(rng):
+    """Causal Decoder (cross-attention) and FFT blocks: shapes + causality."""
+    from torch_tts_tpu.ops.transformer import FFT, Decoder as TDecoder
+
+    B, T, Tm, H = 2, 6, 9, 16
+    x = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((B, Tm, H)).astype(np.float32))
+    x_mask = jnp.ones((B, T, 1))
+    h_mask = jnp.ones((B, Tm, 1))
+
+    dec = TDecoder(H, 32, n_heads=2, n_layers=2, kernel_size=3)
+    p = dec.init(jax.random.PRNGKey(0), x, x_mask, h, h_mask)["params"]
+    y = dec.apply({"params": p}, x, x_mask, h, h_mask)
+    assert y.shape == (B, T, H)
+
+    # causality: output at t must not depend on x at t' > t
+    x2 = x.at[:, -1].set(99.0)
+    y2 = dec.apply({"params": p}, x2, x_mask, h, h_mask)
+    np.testing.assert_allclose(np.asarray(y[:, :-1]), np.asarray(y2[:, :-1]),
+                               atol=1e-5)
+
+    fft = FFT(H, 32, n_heads=2, n_layers=1, kernel_size=3)
+    pf = fft.init(jax.random.PRNGKey(0), x, x_mask)["params"]
+    yf = fft.apply({"params": pf}, x, x_mask)
+    assert yf.shape == (B, T, H)
+    yf2 = fft.apply({"params": pf}, x2, x_mask)
+    np.testing.assert_allclose(np.asarray(yf[:, :-1]), np.asarray(yf2[:, :-1]),
+                               atol=1e-5)
