@@ -89,13 +89,14 @@ class VITS2Trainer:
 
         self.model, self.mpd, self.dur_disc = build_models(cfg)
         self.mesh = make_mesh() if use_mesh else None
-        n_rep = 1  # single-host: all devices share one process feeding the mesh
+        # one sampler shard per host process (multi-host: each process feeds
+        # its addressable slice of the data mesh; single-host: 1/0)
         self.sampler = DistributedBucketSampler(
             train_dataset.lengths,
             cfg.train.batch_size,
             boundaries,
-            num_replicas=n_rep,
-            rank=0,
+            num_replicas=jax.process_count(),
+            rank=jax.process_index(),
             shuffle=True,
         )
         steps_per_epoch = max(1, len(self.sampler))
