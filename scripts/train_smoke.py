@@ -49,6 +49,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--workdir", default="/tmp/tts_smoke")
+    p.add_argument("--step-order", default="ddp", choices=["ddp", "lightning"])
     args = p.parse_args()
 
     import jax
@@ -57,9 +58,14 @@ def main():
     from torch_tts_tpu.data.dataset import TextAudioDataset
     from torch_tts_tpu.train.vits2_trainer import VITS2Trainer
 
+    import dataclasses
+
     cfg = load_vits2_config(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "configs", "vits2-ljspeech.yaml")
+    )
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, step_order=args.step_order)
     )
     root = make_corpus(os.path.join(args.workdir, "data"))
     ds = TextAudioDataset.from_ljspeech(root, cfg.audio, cfg.data, use_mel=True)
