@@ -213,3 +213,56 @@ def test_transformer_decoder_and_fft_blocks(rng):
     yf2 = fft.apply({"params": pf}, x2, x_mask)
     np.testing.assert_allclose(np.asarray(yf[:, :-1]), np.asarray(yf2[:, :-1]),
                                atol=1e-5)
+
+
+def test_proximal_init_q_equals_k(rng):
+    """attentions.py:231-234: with proximal_init, conv_k starts as a copy of
+    conv_q (weight AND bias); the Decoder/FFT blocks default it on like the
+    reference (attentions.py:106,569)."""
+    from torch_tts_tpu.ops.transformer import FFT, Decoder
+
+    x = jnp.asarray(rng.standard_normal((1, 6, 16)).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+
+    mha = MultiHeadAttention(16, 16, 2, proximal_init=True)
+    p = mha.init(rngs, x, x)["params"]
+    np.testing.assert_array_equal(p["conv_q"]["kernel"], p["conv_k"]["kernel"])
+    np.testing.assert_array_equal(p["conv_q"]["bias"], p["conv_k"]["bias"])
+    assert np.abs(p["conv_q"]["kernel"] - p["conv_v"]["kernel"]).max() > 0
+
+    off = MultiHeadAttention(16, 16, 2, proximal_init=False)
+    p_off = off.init(rngs, x, x)["params"]
+    assert np.abs(p_off["conv_q"]["kernel"] - p_off["conv_k"]["kernel"]).max() > 0
+
+    xm = jnp.ones((1, 6, 1))
+    dec = Decoder(16, 32, 2, 2)
+    pd = dec.init(rngs, x, xm, x, xm)["params"]
+    for i in range(2):
+        np.testing.assert_array_equal(
+            pd[f"self_attn_{i}"]["conv_q"]["kernel"],
+            pd[f"self_attn_{i}"]["conv_k"]["kernel"],
+        )
+        # cross-attention is NOT proximally initialized (reference: only
+        # self_attn_layers get proximal_init, attentions.py:128-137)
+        assert np.abs(
+            pd[f"encdec_attn_{i}"]["conv_q"]["kernel"]
+            - pd[f"encdec_attn_{i}"]["conv_k"]["kernel"]
+        ).max() > 0
+
+
+def test_fft_multilayer_gin_shared_cond_pre(rng):
+    """FFT with n_layers>1 and gin conditioning: one cond_pre module shared
+    across layers (attentions.py:577-579) — must init without scope
+    collisions and apply cleanly."""
+    from torch_tts_tpu.ops.transformer import FFT
+
+    fft = FFT(hidden_channels=8, filter_channels=16, n_heads=2, n_layers=3,
+              gin_channels=4)
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    xm = jnp.ones((2, 5, 1))
+    g = jnp.asarray(rng.standard_normal((2, 1, 4)).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    v = fft.init(rngs, x, xm, g)
+    assert "cond_pre" in v["params"] and "self_attn_2" in v["params"]
+    y = fft.apply(v, x, xm, g, deterministic=True)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()

@@ -112,6 +112,7 @@ class Conv1d(nn.Module):
     weight_norm: bool = False
     spectral_norm: bool = False
     kernel_init: Optional[nn.initializers.Initializer] = None
+    bias_init: Optional[nn.initializers.Initializer] = None
     zero_init: bool = False  # reference zero-inits several projection convs
     # space-to-depth packing factor (ops/packed_conv.py): >1 computes the
     # same conv on [L/P, P*C] tensors to fill the 128-wide lanes when C is
@@ -157,7 +158,7 @@ class Conv1d(nn.Module):
             bias = None
             if self.use_bias:
                 binit = (nn.initializers.zeros if self.zero_init
-                         else torch_uniform_init(fan_in))
+                         else (self.bias_init or torch_uniform_init(fan_in)))
                 bias = self.param("bias", binit, (self.features,))
             return packed_conv1d(
                 x, kernel.astype(x.dtype),
@@ -177,7 +178,8 @@ class Conv1d(nn.Module):
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
         if self.use_bias:
-            binit = nn.initializers.zeros if self.zero_init else torch_uniform_init(fan_in)
+            binit = (nn.initializers.zeros if self.zero_init
+                     else (self.bias_init or torch_uniform_init(fan_in)))
             bias = self.param("bias", binit, (self.features,))
             y = y + bias.astype(y.dtype)
         return y

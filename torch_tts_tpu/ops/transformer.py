@@ -9,10 +9,11 @@ Equivalents of /root/reference/vits2/attentions.py in channels-last layout:
 - Encoder with mid-stack speaker-conditioning injection (cond_layer_idx),
 - causal Decoder and the FFT block used by the `fft` transformer flow.
 
-Note: torch's `proximal_init` (copying q weights into k at init,
-attentions.py:231-234) is approximated by independent init here; it only
-affects fresh-training trajectories of the non-default fft/Decoder blocks,
-not checkpoint loading (the converter overwrites all params).
+torch's `proximal_init` (copying q weights into k at init,
+attentions.py:231-234) is exact: when enabled, conv_q and conv_k draw their
+init values from one shared PRNG key, so they start identical (the torch
+semantics — q keeps a valid kaiming-uniform init, k copies it). Checkpoint
+loading is unaffected either way (the converter overwrites all params).
 """
 
 from __future__ import annotations
@@ -24,7 +25,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from torch_tts_tpu.ops.layers import Conv1d, Dropout, LayerNorm, fused_add_tanh_sigmoid_multiply
+from torch_tts_tpu.ops.layers import (
+    Conv1d,
+    Dropout,
+    LayerNorm,
+    fused_add_tanh_sigmoid_multiply,
+    torch_uniform_init,
+)
 
 
 def _rel_to_abs(x: jax.Array) -> jax.Array:
@@ -62,8 +69,21 @@ class MultiHeadAttention(nn.Module):
         """x: query source [B, Tt, C]; c: key/value source [B, Ts, C];
         attn_mask: [B or 1, 1 or H, Tt, Ts] (1 = attend)."""
         d_k = self.channels // self.n_heads
-        q = Conv1d(self.channels, 1, name="conv_q")(x)
-        k = Conv1d(self.channels, 1, name="conv_k")(c)
+        qk_kwargs = {}
+        if self.proximal_init and self.is_initializing():
+            # attentions.py:231-234: conv_k starts as a copy of conv_q. Both
+            # convs draw kernel+bias from ONE shared key (still a valid
+            # torch-uniform draw — only q == k matters).
+            shared = self.make_rng("params")
+            k_kern, k_bias = jax.random.split(shared)
+            base_k = torch_uniform_init(x.shape[-1])
+            base_b = torch_uniform_init(x.shape[-1])
+            qk_kwargs = dict(
+                kernel_init=lambda _rng, s, d=jnp.float32: base_k(k_kern, s, d),
+                bias_init=lambda _rng, s, d=jnp.float32: base_b(k_bias, s, d),
+            )
+        q = Conv1d(self.channels, 1, name="conv_q", **qk_kwargs)(x)
+        k = Conv1d(self.channels, 1, name="conv_k", **qk_kwargs)(c)
         v = Conv1d(self.channels, 1, name="conv_v")(c)
 
         b, t_t, _ = q.shape
@@ -227,6 +247,7 @@ class Decoder(nn.Module):
     kernel_size: int = 1
     p_dropout: float = 0.0
     proximal_bias: bool = False
+    proximal_init: bool = True  # reference Decoder default (attentions.py:106)
 
     @nn.compact
     def __call__(self, x, x_mask, h, h_mask, deterministic: bool = True):
@@ -242,6 +263,7 @@ class Decoder(nn.Module):
                 self.n_heads,
                 p_dropout=self.p_dropout,
                 proximal_bias=self.proximal_bias,
+                proximal_init=self.proximal_init,
                 name=f"self_attn_{i}",
             )(x, x, causal, deterministic)
             x = LayerNorm(name=f"norm0_{i}")(x + drop(y, deterministic))
@@ -276,6 +298,7 @@ class FFT(nn.Module):
     kernel_size: int = 1
     p_dropout: float = 0.0
     proximal_bias: bool = False
+    proximal_init: bool = True  # reference FFT default (attentions.py:569)
     gin_channels: int = 0
 
     @nn.compact
@@ -289,9 +312,13 @@ class FFT(nn.Module):
         causal = jnp.tril(jnp.ones((t, t)))[None, None]
         x = x * x_mask
         drop = Dropout(self.p_dropout)
+        # one cond_pre shared across layers, like the reference's single
+        # module (attentions.py:577-579) — declaring it inside the loop would
+        # collide scope names when n_layers > 1
+        cond_pre = Conv1d(2 * self.hidden_channels, 1, name="cond_pre")
         for i in range(self.n_layers):
             if g is not None and self.gin_channels > 0:
-                xc = Conv1d(2 * self.hidden_channels, 1, name="cond_pre")(x)
+                xc = cond_pre(x)
                 g_l = g_all[..., i * 2 * self.hidden_channels : (i + 1) * 2 * self.hidden_channels]
                 x = fused_add_tanh_sigmoid_multiply(xc, g_l, self.hidden_channels)
             y = MultiHeadAttention(
@@ -300,6 +327,7 @@ class FFT(nn.Module):
                 self.n_heads,
                 p_dropout=self.p_dropout,
                 proximal_bias=self.proximal_bias,
+                proximal_init=self.proximal_init,
                 name=f"self_attn_{i}",
             )(x, x, causal, deterministic)
             x = LayerNorm(name=f"norm0_{i}")(x + drop(y, deterministic))
