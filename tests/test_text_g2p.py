@@ -1,0 +1,92 @@
+"""English cleaners + pure-Python G2P fallback.
+
+The reference's default LJSpeech recipe phonemizes with espeak
+(/root/reference/vits2/text/cleaners.py:90-114; configs/ljspeech.yaml). That
+package is absent here, so english_cleaners/english_cleaners2 fall back to the
+built-in lexicon+rules G2P (text/g2p.py). These tests pin down: IPA output
+lands entirely inside the model's symbol inventory, number/ordinal/currency
+expansion, stress marks only in the *2 variant, and the loud-error mode.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from torch_tts_tpu.text import symbols, text_to_sequence
+from torch_tts_tpu.text.cleaners import english_cleaners, english_cleaners2
+from torch_tts_tpu.text.g2p import (
+    normalize_numbers,
+    number_to_words,
+    ordinal_to_words,
+    phonemize_en,
+    word_to_arpabet,
+)
+
+SYMS = set(symbols)
+
+
+def test_number_expansion():
+    assert number_to_words(0) == "zero"
+    assert number_to_words(21) == "twenty-one"
+    assert number_to_words(105) == "one hundred five"
+    assert number_to_words(1234567) == (
+        "one million two hundred thirty-four thousand five hundred sixty-seven"
+    )
+    assert ordinal_to_words(1) == "first"
+    assert ordinal_to_words(22) == "twenty-second"
+    assert ordinal_to_words(40) == "fortieth"
+    out = normalize_numbers("in 1806, $3.50 bought 2nd place of 1,000")
+    assert "eighteen oh six" in out
+    assert "three dollars, fifty cents" in out
+    assert "second place" in out
+    assert "one thousand" in out
+
+
+def test_g2p_emits_only_known_symbols():
+    text = (
+        "Printing, in the only sense with which we are at present concerned, "
+        "differs from most if not from all the arts and crafts represented "
+        "in the Exhibition in 1851!"
+    )
+    out = english_cleaners2(text)
+    unknown = {ch for ch in out if ch not in SYMS}
+    assert not unknown, f"G2P emitted symbols outside the inventory: {unknown}"
+    # the whole thing round-trips through the id mapping
+    ids = text_to_sequence(out, ["basic_cleaners"])
+    assert len(ids) == len(out.replace("​", ""))
+
+
+def test_english_cleaners_variants():
+    # *2 keeps punctuation + stress; plain english_cleaners drops both
+    s2 = english_cleaners2("Hello, world!")
+    s1 = english_cleaners("Hello, world!")
+    assert "ˈ" in s2
+    assert "," in s2 and "!" in s2
+    assert "ˈ" not in s1
+    assert "," not in s1 and "!" not in s1
+    # IPA actually produced (not just letters passed through)
+    assert any(ch in s2 for ch in "əɛɜːʊɪ")
+
+
+def test_g2p_core_words():
+    assert word_to_arpabet("the") == ["DH", "AH0"]
+    assert word_to_arpabet("cat") == ["K", "AE1", "T"]
+    assert word_to_arpabet("station") == ["S", "T", "EY1", "SH", "AH0", "N"]
+    # morphology built on lexicon stems
+    assert word_to_arpabet("books") == ["B", "UH1", "K", "S"]
+    assert word_to_arpabet("watched")[-1] == "T"
+    # abbreviation expansion upstream feeds the lexicon ("mr." -> "mister")
+    assert "mˈɪstɚ" in english_cleaners2("Mr. Smith")
+
+
+def test_require_espeak_env_errors_loudly(monkeypatch):
+    monkeypatch.setenv("TTS_REQUIRE_ESPEAK", "1")
+    with pytest.raises(RuntimeError, match="phonemizer"):
+        english_cleaners2("hello")
+
+
+def test_stress_single_primary_per_word():
+    out = phonemize_en("synthesis university", with_stress=True)
+    for word in out.split():
+        assert word.count("ˈ") <= 1, out

@@ -78,15 +78,36 @@ def transliteration_cleaners(text: str) -> str:
 
 
 def _phonemize(text: str, **kwargs) -> str:
+    """espeak phonemization when available; pure-Python fallback otherwise.
+
+    The reference's default LJSpeech recipe is phoneme text via espeak
+    (/root/reference/vits2/text/cleaners.py:90-114). When the `phonemizer`
+    package is absent, the built-in lexicon+rules G2P (text/g2p.py) is used so
+    the recipe still runs end-to-end — it is an approximation, not bit-exact
+    espeak. Set TTS_REQUIRE_ESPEAK=1 to error loudly instead (e.g. to
+    guarantee filelists are byte-compatible with espeak-phonemized ones).
+    """
     try:
         from phonemizer import phonemize  # pragma: no cover - not in this image
+
+        return phonemize(text, language="en-us", backend="espeak", **kwargs)
     except ImportError as e:
-        raise RuntimeError(
-            "english_cleaners require the `phonemizer` package (espeak backend), "
-            "which is not installed in this environment. Use "
-            "`transliteration_cleaners` or pre-cleaned filelists instead."
-        ) from e
-    return phonemize(text, language="en-us", backend="espeak", **kwargs)
+        import os
+
+        if os.environ.get("TTS_REQUIRE_ESPEAK"):
+            raise RuntimeError(
+                "english_cleaners require the `phonemizer` package (espeak "
+                "backend), which is not installed, and TTS_REQUIRE_ESPEAK is "
+                "set. Unset it to use the built-in approximate G2P, or use "
+                "`transliteration_cleaners` / pre-cleaned filelists."
+            ) from e
+        from torch_tts_tpu.text.g2p import phonemize_en
+
+        return phonemize_en(
+            text,
+            preserve_punctuation=kwargs.get("preserve_punctuation", False),
+            with_stress=kwargs.get("with_stress", False),
+        )
 
 
 def english_cleaners(text: str) -> str:

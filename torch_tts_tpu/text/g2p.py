@@ -1,0 +1,964 @@
+"""Pure-Python English grapheme-to-phoneme fallback.
+
+The reference's default LJSpeech recipe phonemizes text with espeak via the
+`phonemizer` package (/root/reference/vits2/text/cleaners.py:90-114), which is
+not installable in this image. This module provides a dependency-free
+approximation so `english_cleaners` / `english_cleaners2` run end-to-end:
+
+- number/currency/ordinal expansion (inflect-free re-implementation of the
+  keithito normalization the espeak backend otherwise performs internally),
+- a lexicon of common English words (function words + frequent irregulars)
+  in ARPAbet with stress,
+- an NRL-style context-sensitive letter-to-sound rule engine (Elovitz et al.
+  1976 pattern language: # vowels, : consonants*, ^ consonant, . voiced,
+  + front vowel, % suffix) for out-of-lexicon words,
+- ARPAbet -> espeak-flavoured IPA mapping restricted to the model's symbol
+  inventory (text/symbols.py), with optional ˈ/ˌ stress marks.
+
+This is an *approximate* G2P: suitable for running the reference recipe and
+for training from scratch in this image, not a bit-exact espeak clone. When
+the real `phonemizer` is available it is always preferred (text/cleaners.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# number expansion (keithito-style, inflect-free)
+# ---------------------------------------------------------------------------
+
+_ONES = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_TENS = [
+    "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+    "eighty", "ninety",
+]
+_SCALES = [
+    (10**12, "trillion"), (10**9, "billion"), (10**6, "million"),
+    (10**3, "thousand"), (100, "hundred"),
+]
+
+_ORDINAL_SPECIAL = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def _two_digits(n: int) -> str:
+    if n < 20:
+        return _ONES[n]
+    t, o = divmod(n, 10)
+    return _TENS[t] + ("-" + _ONES[o] if o else "")
+
+
+def number_to_words(n: int) -> str:
+    if n < 0:
+        return "minus " + number_to_words(-n)
+    if n < 100:
+        return _two_digits(n)
+    parts: List[str] = []
+    for scale, name in _SCALES:
+        if n >= scale:
+            parts.append(number_to_words(n // scale) + " " + name)
+            n %= scale
+    if n:
+        parts.append(_two_digits(n))
+    return " ".join(parts)
+
+
+def ordinal_to_words(n: int) -> str:
+    words = number_to_words(n)
+    head, _, last = words.rpartition(" ") if " " in words else ("", "", words)
+    h2, _, l2 = last.rpartition("-") if "-" in last else ("", "", last)
+    if l2 in _ORDINAL_SPECIAL:
+        ord_last = _ORDINAL_SPECIAL[l2]
+    elif l2.endswith("y"):
+        ord_last = l2[:-1] + "ieth"
+    else:
+        ord_last = l2 + "th"
+    last = (h2 + "-" if h2 else "") + ord_last
+    return (head + " " if head else "") + last
+
+
+def _expand_year(n: int) -> str:
+    """1806 -> eighteen oh six; 2000 -> two thousand; 2024 -> twenty twenty-four."""
+    if 1000 <= n < 3000:
+        if n % 1000 == 0:
+            return number_to_words(n // 1000) + " thousand"
+        if n % 100 == 0:
+            return _two_digits(n // 100) + " hundred"
+        hi, lo = divmod(n, 100)
+        if lo < 10:
+            return _two_digits(hi) + " oh " + _ONES[lo]
+        return _two_digits(hi) + " " + _two_digits(lo)
+    return number_to_words(n)
+
+
+_comma_number_re = re.compile(r"([0-9][0-9,]+[0-9])")
+_decimal_re = re.compile(r"([0-9]+)\.([0-9]+)")
+_dollars_re = re.compile(r"\$([0-9.,]*[0-9]+)")
+_pounds_re = re.compile(r"£([0-9.,]*[0-9]+)")
+_ordinal_re = re.compile(r"([0-9]+)(st|nd|rd|th)")
+_number_re = re.compile(r"[0-9]+")
+
+
+def _expand_dollars(m: re.Match) -> str:
+    parts = m.group(1).replace(",", "").split(".")
+    dollars = int(parts[0]) if parts[0] else 0
+    cents = int(parts[1][:2].ljust(2, "0")) if len(parts) > 1 and parts[1] else 0
+    out = []
+    if dollars:
+        out.append(number_to_words(dollars) + (" dollar" if dollars == 1 else " dollars"))
+    if cents:
+        out.append(number_to_words(cents) + (" cent" if cents == 1 else " cents"))
+    return ", ".join(out) if out else "zero dollars"
+
+
+def _expand_decimal(m: re.Match) -> str:
+    digits = " ".join(_ONES[int(d)] for d in m.group(2))
+    return number_to_words(int(m.group(1))) + " point " + digits
+
+
+def _expand_plain_number(m: re.Match) -> str:
+    n = int(m.group(0))
+    return _expand_year(n) if 1000 <= n < 3000 else number_to_words(n)
+
+
+def normalize_numbers(text: str) -> str:
+    text = _comma_number_re.sub(lambda m: m.group(1).replace(",", ""), text)
+    text = _pounds_re.sub(lambda m: _dollars_re.sub(_expand_dollars, "$" + m.group(1))
+                          .replace("dollar", "pound").replace("cent", "penny")
+                          .replace("pennys", "pence"), text)
+    text = _dollars_re.sub(_expand_dollars, text)
+    text = _decimal_re.sub(_expand_decimal, text)
+    text = _ordinal_re.sub(lambda m: ordinal_to_words(int(m.group(1))), text)
+    text = _number_re.sub(_expand_plain_number, text)
+    return text
+
+
+# ---------------------------------------------------------------------------
+# lexicon (ARPAbet with stress digits on vowels)
+# ---------------------------------------------------------------------------
+
+LEXICON: Dict[str, str] = {
+    "a": "AH0", "an": "AH0 N", "the": "DH AH0", "of": "AH0 V",
+    "to": "T UW1", "and": "AH0 N D", "in": "IH0 N", "is": "IH1 Z",
+    "it": "IH1 T", "you": "Y UW1", "that": "DH AE1 T", "he": "HH IY1",
+    "was": "W AA1 Z", "for": "F AO1 R", "on": "AA1 N", "are": "AA1 R",
+    "as": "AE1 Z", "with": "W IH1 DH", "his": "HH IH1 Z", "they": "DH EY1",
+    "i": "AY1", "at": "AE1 T", "be": "B IY1", "this": "DH IH1 S",
+    "have": "HH AE1 V", "from": "F R AH1 M", "or": "AO1 R",
+    "one": "W AH1 N", "had": "HH AE1 D", "by": "B AY1",
+    "word": "W ER1 D", "but": "B AH1 T", "not": "N AA1 T",
+    "what": "W AH1 T", "all": "AO1 L", "were": "W ER1", "we": "W IY1",
+    "when": "W EH1 N", "your": "Y AO1 R", "can": "K AE1 N",
+    "said": "S EH1 D", "there": "DH EH1 R", "use": "Y UW1 S",
+    "each": "IY1 CH", "which": "W IH1 CH", "she": "SH IY1",
+    "do": "D UW1", "how": "HH AW1", "their": "DH EH1 R",
+    "if": "IH1 F", "will": "W IH1 L", "up": "AH1 P",
+    "other": "AH1 DH ER0", "about": "AH0 B AW1 T", "out": "AW1 T",
+    "many": "M EH1 N IY0", "then": "DH EH1 N", "them": "DH EH1 M",
+    "these": "DH IY1 Z", "so": "S OW1", "some": "S AH1 M",
+    "her": "HH ER1", "would": "W UH1 D", "make": "M EY1 K",
+    "like": "L AY1 K", "him": "HH IH1 M", "into": "IH1 N T UW0",
+    "time": "T AY1 M", "has": "HH AE1 Z", "look": "L UH1 K",
+    "two": "T UW1", "more": "M AO1 R", "write": "R AY1 T",
+    "go": "G OW1", "see": "S IY1", "no": "N OW1", "way": "W EY1",
+    "could": "K UH1 D", "people": "P IY1 P AH0 L", "my": "M AY1",
+    "than": "DH AE1 N", "first": "F ER1 S T", "water": "W AO1 T ER0",
+    "been": "B IH1 N", "who": "HH UW1", "its": "IH1 T S",
+    "now": "N AW1", "find": "F AY1 N D", "long": "L AO1 NG",
+    "down": "D AW1 N", "day": "D EY1", "did": "D IH1 D",
+    "get": "G EH1 T", "come": "K AH1 M", "made": "M EY1 D",
+    "may": "M EY1", "part": "P AA1 R T", "over": "OW1 V ER0",
+    "new": "N UW1", "sound": "S AW1 N D", "take": "T EY1 K",
+    "only": "OW1 N L IY0", "little": "L IH1 T AH0 L",
+    "work": "W ER1 K", "know": "N OW1", "place": "P L EY1 S",
+    "year": "Y IH1 R", "live": "L IH1 V", "me": "M IY1",
+    "back": "B AE1 K", "give": "G IH1 V", "most": "M OW1 S T",
+    "very": "V EH1 R IY0", "after": "AE1 F T ER0",
+    "thing": "TH IH1 NG", "our": "AW1 ER0", "just": "JH AH1 S T",
+    "name": "N EY1 M", "good": "G UH1 D", "sentence": "S EH1 N T AH0 N S",
+    "man": "M AE1 N", "think": "TH IH1 NG K", "say": "S EY1",
+    "great": "G R EY1 T", "where": "W EH1 R", "through": "TH R UW1",
+    "much": "M AH1 CH", "before": "B IH0 F AO1 R", "too": "T UW1",
+    "mean": "M IY1 N", "same": "S EY1 M", "right": "R AY1 T",
+    "any": "EH1 N IY0", "tell": "T EH1 L", "boy": "B OY1",
+    "follow": "F AA1 L OW0", "came": "K EY1 M", "want": "W AA1 N T",
+    "show": "SH OW1", "also": "AO1 L S OW0", "around": "AH0 R AW1 N D",
+    "form": "F AO1 R M", "three": "TH R IY1", "small": "S M AO1 L",
+    "set": "S EH1 T", "put": "P UH1 T", "end": "EH1 N D",
+    "does": "D AH1 Z", "another": "AH0 N AH1 DH ER0",
+    "well": "W EH1 L", "large": "L AA1 R JH", "must": "M AH1 S T",
+    "big": "B IH1 G", "even": "IY1 V AH0 N", "such": "S AH1 CH",
+    "because": "B IH0 K AO1 Z", "turn": "T ER1 N", "here": "HH IY1 R",
+    "why": "W AY1", "ask": "AE1 S K", "went": "W EH1 N T",
+    "men": "M EH1 N", "read": "R IY1 D", "need": "N IY1 D",
+    "land": "L AE1 N D", "different": "D IH1 F ER0 AH0 N T",
+    "home": "HH OW1 M", "us": "AH1 S", "move": "M UW1 V",
+    "try": "T R AY1", "kind": "K AY1 N D", "hand": "HH AE1 N D",
+    "picture": "P IH1 K CH ER0", "again": "AH0 G EH1 N",
+    "change": "CH EY1 N JH", "off": "AO1 F", "play": "P L EY1",
+    "spell": "S P EH1 L", "air": "EH1 R", "away": "AH0 W EY1",
+    "animal": "AE1 N AH0 M AH0 L", "house": "HH AW1 S",
+    "point": "P OY1 N T", "page": "P EY1 JH", "letter": "L EH1 T ER0",
+    "mother": "M AH1 DH ER0", "father": "F AA1 DH ER0",
+    "answer": "AE1 N S ER0", "found": "F AW1 N D",
+    "study": "S T AH1 D IY0", "still": "S T IH1 L",
+    "learn": "L ER1 N", "should": "SH UH1 D", "world": "W ER1 L D",
+    "high": "HH AY1", "every": "EH1 V ER0 IY0", "near": "N IH1 R",
+    "add": "AE1 D", "food": "F UW1 D", "between": "B IH0 T W IY1 N",
+    "own": "OW1 N", "below": "B IH0 L OW1", "country": "K AH1 N T R IY0",
+    "plant": "P L AE1 N T", "last": "L AE1 S T", "school": "S K UW1 L",
+    "keep": "K IY1 P", "tree": "T R IY1", "never": "N EH1 V ER0",
+    "start": "S T AA1 R T", "city": "S IH1 T IY0", "earth": "ER1 TH",
+    "eye": "AY1", "light": "L AY1 T", "thought": "TH AO1 T",
+    "head": "HH EH1 D", "under": "AH1 N D ER0", "story": "S T AO1 R IY0",
+    "saw": "S AO1", "left": "L EH1 F T", "don't": "D OW1 N T",
+    "few": "F Y UW1", "while": "W AY1 L", "along": "AH0 L AO1 NG",
+    "might": "M AY1 T", "close": "K L OW1 S", "something": "S AH1 M TH IH0 NG",
+    "seem": "S IY1 M", "next": "N EH1 K S T", "hard": "HH AA1 R D",
+    "open": "OW1 P AH0 N", "example": "IH0 G Z AE1 M P AH0 L",
+    "begin": "B IH0 G IH1 N", "life": "L AY1 F", "always": "AO1 L W EY0 Z",
+    "those": "DH OW1 Z", "both": "B OW1 TH", "paper": "P EY1 P ER0",
+    "together": "T AH0 G EH1 DH ER0", "got": "G AA1 T",
+    "group": "G R UW1 P", "often": "AO1 F AH0 N", "run": "R AH1 N",
+    "important": "IH0 M P AO1 R T AH0 N T", "until": "AH0 N T IH1 L",
+    "children": "CH IH1 L D R AH0 N", "side": "S AY1 D",
+    "feet": "F IY1 T", "car": "K AA1 R", "mile": "M AY1 L",
+    "night": "N AY1 T", "walk": "W AO1 K", "white": "W AY1 T",
+    "sea": "S IY1", "began": "B IH0 G AE1 N", "grow": "G R OW1",
+    "took": "T UH1 K", "river": "R IH1 V ER0", "four": "F AO1 R",
+    "carry": "K AE1 R IY0", "state": "S T EY1 T", "once": "W AH1 N S",
+    "book": "B UH1 K", "hear": "HH IY1 R", "stop": "S T AA1 P",
+    "without": "W IH0 TH AW1 T", "second": "S EH1 K AH0 N D",
+    "later": "L EY1 T ER0", "miss": "M IH1 S", "idea": "AY0 D IY1 AH0",
+    "enough": "IH0 N AH1 F", "eat": "IY1 T", "face": "F EY1 S",
+    "watch": "W AA1 CH", "far": "F AA1 R", "really": "R IH1 L IY0",
+    "almost": "AO1 L M OW0 S T", "let": "L EH1 T", "above": "AH0 B AH1 V",
+    "girl": "G ER1 L", "sometimes": "S AH1 M T AY0 M Z",
+    "mountain": "M AW1 N T AH0 N", "cut": "K AH1 T",
+    "young": "Y AH1 NG", "talk": "T AO1 K", "soon": "S UW1 N",
+    "list": "L IH1 S T", "song": "S AO1 NG", "being": "B IY1 IH0 NG",
+    "leave": "L IY1 V", "family": "F AE1 M AH0 L IY0",
+    "mr": "M IH1 S T ER0", "mrs": "M IH1 S IH0 Z",
+    "one's": "W AH1 N Z", "there's": "DH EH1 R Z", "i'm": "AY1 M",
+    "it's": "IH1 T S", "he's": "HH IY1 Z", "she's": "SH IY1 Z",
+    "that's": "DH AE1 T S", "what's": "W AH1 T S", "let's": "L EH1 T S",
+    "who's": "HH UW1 Z", "won't": "W OW1 N T", "can't": "K AE1 N T",
+    "didn't": "D IH1 D AH0 N T", "isn't": "IH1 Z AH0 N T",
+    "wasn't": "W AA1 Z AH0 N T", "aren't": "AA1 R AH0 N T",
+    "weren't": "W ER1 AH0 N T", "couldn't": "K UH1 D AH0 N T",
+    "wouldn't": "W UH1 D AH0 N T", "shouldn't": "SH UH1 D AH0 N T",
+    "oh": "OW1", "says": "S EH1 Z", "does't": "D AH1 Z AH0 N T",
+    "doesn't": "D AH1 Z AH0 N T", "done": "D AH1 N", "gone": "G AO1 N",
+    "heart": "HH AA1 R T", "pretty": "P R IH1 T IY0",
+    "woman": "W UH1 M AH0 N", "women": "W IH1 M AH0 N",
+    "money": "M AH1 N IY0", "island": "AY1 L AH0 N D",
+    "iron": "AY1 ER0 N", "hour": "AW1 ER0", "honest": "AA1 N AH0 S T",
+    "honor": "AA1 N ER0", "colonel": "K ER1 N AH0 L",
+    "choir": "K W AY1 ER0", "answered": "AE1 N S ER0 D",
+    "sugar": "SH UH1 G ER0", "sure": "SH UH1 R",
+    "ocean": "OW1 SH AH0 N", "special": "S P EH1 SH AH0 L",
+    "machine": "M AH0 SH IY1 N", "police": "P AH0 L IY1 S",
+    "friend": "F R EH1 N D", "against": "AH0 G EH1 N S T",
+    "early": "ER1 L IY0", "heard": "HH ER1 D", "door": "D AO1 R",
+    "floor": "F L AO1 R", "poor": "P UH1 R", "your're": "Y UH1 R",
+    "blood": "B L AH1 D", "flood": "F L AH1 D", "dove": "D AH1 V",
+    "love": "L AH1 V", "some'": "S AH1 M", "come'": "K AH1 M",
+    "eight": "EY1 T", "eighty": "EY1 T IY0", "height": "HH AY1 T",
+    "weight": "W EY1 T", "either": "IY1 DH ER0", "neither": "N IY1 DH ER0",
+    "breakfast": "B R EH1 K F AH0 S T", "break": "B R EY1 K",
+    "steak": "S T EY1 K", "heavy": "HH EH1 V IY0",
+    "weather": "W EH1 DH ER0", "bread": "B R EH1 D",
+    "dead": "D EH1 D", "ready": "R EH1 D IY0", "instead": "IH0 N S T EH1 D",
+    "measure": "M EH1 ZH ER0", "pleasure": "P L EH1 ZH ER0",
+    "treasure": "T R EH1 ZH ER0", "usual": "Y UW1 ZH AH0 W AH0 L",
+    "usually": "Y UW1 ZH AH0 W AH0 L IY0", "vision": "V IH1 ZH AH0 N",
+    "decision": "D IH0 S IH1 ZH AH0 N", "asia": "EY1 ZH AH0",
+    "mister": "M IH1 S T ER0", "misess": "M IH1 S IH0 Z",
+    "doctor": "D AA1 K T ER0", "saint": "S EY1 N T",
+    "company": "K AH1 M P AH0 N IY0", "junior": "JH UW1 N Y ER0",
+    "major": "M EY1 JH ER0", "general": "JH EH1 N ER0 AH0 L",
+    "doctors": "D AA1 K T ER0 Z", "reverend": "R EH1 V ER0 AH0 N D",
+    "lieutenant": "L UW0 T EH1 N AH0 N T", "honorable": "AA1 N ER0 AH0 B AH0 L",
+    "sergeant": "S AA1 R JH AH0 N T", "captain": "K AE1 P T AH0 N",
+    "esquire": "EH1 S K W AY0 R", "limited": "L IH1 M AH0 T IH0 D",
+    "fort": "F AO1 R T", "zero": "Z IH1 R OW0", "percent": "P ER0 S EH1 N T",
+    "point": "P OY1 N T", "minus": "M AY1 N AH0 S",
+    "hundred": "HH AH1 N D R AH0 D", "thousand": "TH AW1 Z AH0 N D",
+    "million": "M IH1 L Y AH0 N", "billion": "B IH1 L Y AH0 N",
+    "trillion": "T R IH1 L Y AH0 N", "eleven": "IH0 L EH1 V AH0 N",
+    "twelve": "T W EH1 L V", "twenty": "T W EH1 N T IY0",
+    "thirty": "TH ER1 T IY0", "forty": "F AO1 R T IY0",
+    "fifty": "F IH1 F T IY0", "sixty": "S IH1 K S T IY0",
+    "seventy": "S EH1 V AH0 N T IY0", "ninety": "N AY1 N T IY0",
+    "five": "F AY1 V", "nine": "N AY1 N", "six": "S IH1 K S",
+    "seven": "S EH1 V AH0 N", "ten": "T EH1 N",
+    "dollars": "D AA1 L ER0 Z", "dollar": "D AA1 L ER0",
+    "pounds": "P AW1 N D Z", "pound": "P AW1 N D",
+    "brown": "B R AW1 N", "crown": "K R AW1 N", "crowd": "K R AW1 D",
+    "beautiful": "B Y UW1 T AH0 F AH0 L", "beauty": "B Y UW1 T IY0",
+    "generate": "JH EH1 N ER0 EY2 T", "general": "JH EH1 N ER0 AH0 L",
+    "english": "IH1 NG G L IH0 SH", "language": "L AE1 NG G W AH0 JH",
+    "voice": "V OY1 S", "speech": "S P IY1 CH",
+}
+
+# ---------------------------------------------------------------------------
+# NRL-style letter-to-sound rules
+# ---------------------------------------------------------------------------
+# Each rule: (left_context, letters, right_context, arpabet_string).
+# Context pattern language (Elovitz et al. 1976):
+#   '#'  one or more vowels          '^' exactly one consonant
+#   ':'  zero or more consonants     '.' one voiced consonant (bdvgjlmnrwz)
+#   '+'  one front vowel (e i y)     '%' suffix e|es|ed|er|ing|ely
+#   ' '  word boundary; letters match themselves.
+# First matching rule wins; rules are grouped by the first letter of `letters`.
+
+_VOWELS = "aeiou"
+_FRONT = "eiy"
+_VOICED = "bdvgjlmnrwz"
+_CONS = "bcdfghjklmnpqrstvwxz"
+
+RULES: Dict[str, List[Tuple[str, str, str, str]]] = {}
+
+
+def _add(rules_text: str) -> None:
+    for line in rules_text.splitlines():
+        line = line.rstrip()  # leading spaces are word-boundary anchors!
+        if not line or line.lstrip().startswith("//"):
+            continue
+        # format: L[match]R=phones   (keithito/NRL notation)
+        m = re.match(r"^(.*)\[(.+)\](.*)=(.*)$", line)
+        assert m, line
+        left, mid, right, ph = m.groups()
+        RULES.setdefault(mid[0], []).append((left, mid, right, ph.strip()))
+
+
+_add("""
+ [a] =AH0
+ [are] =AA1 R
+ [ar]o=AH0 R
+[ar]#=EH1 R
+ ^[as]#=EY1 S
+[a]wa=AH0
+[aw]=AO1
+ :[any]=EH1 N IY0
+[a]^+#=EY1
+#:[ally]=AH0 L IY0
+ [al]#=AH0 L
+[again]=AH0 G EH1 N
+#:[ag]e=IH0 JH
+[a]^+:#=AE1
+ :[a]^+ =EY1
+[a]^%=EY1
+ [arr]=AH0 R
+[arr]=AE1 R
+ :[ar] =AA1 R
+[ar] =ER0
+[ar]=AA1 R
+[air]=EH1 R
+[ai]=EY1
+[ay]=EY1
+[au]=AO1
+#:[al] =AH0 L
+#:[als] =AH0 L Z
+[alk]=AO1 K
+[al]^=AO1 L
+ :[able]=EY1 B AH0 L
+[able]=AH0 B AH0 L
+[ang]+=EY1 N JH
+[ation]=EY1 SH AH0 N
+[a]=AE1
+""")
+
+_add("""
+ [be]^#=B IH0
+[being]=B IY1 IH0 NG
+ [both] =B OW1 TH
+ [bus]#=B IH1 Z
+[buil]=B IH1 L
+[b]=B
+""")
+
+_add("""
+ [ch]^=K
+^e[ch]=K
+[ch]=CH
+ s[ci]#=S AY1
+[ci]a=SH
+[ci]o=SH
+[ci]en=SH
+[c]+=S
+[ck]=K
+[com]%=K AH1 M
+[c]=K
+""")
+
+_add("""
+#:[ded] =D IH0 D
+.e[d] =D
+#:^e[d] =T
+ [de]^#=D IH0
+ [do] =D UW1
+ [does]=D AH1 Z
+ [doing]=D UW1 IH0 NG
+ [dow]=D AW1
+[du]a=JH UW0
+[d]=D
+""")
+
+_add("""
+#:[e] =
+':^[e] =
+ :[e] =IY1
+#[ed] =D
+#:[e]d =
+[ev]er=EH1 V
+[e]^%=IY1
+[eri]#=IY1 R IY0
+[eri]=EH1 R IH0
+#:[er]#=ER0
+[er]#=EH1 R
+[er]=ER0
+ [even]=IY1 V EH0 N
+#:[e]w=
+@[ew]=UW1
+[ew]=Y UW1
+[e]o=IY1
+#:&[es] =IH0 Z
+#:[e]s =
+#:[ely] =L IY0
+#:[ement]=M AH0 N T
+[eful]=F UH0 L
+[ee]=IY1
+[earn]=ER1 N
+ [ear]^=ER1
+[ead]=EH1 D
+#:[ea] =IY0 AH0
+[ea]su=EH1
+[ea]=IY1
+[eigh]=EY1
+[ei]=IY1
+ [eye]=AY1
+[ey]=IY0
+[eu]=Y UW1
+[e]=EH1
+""")
+
+_add("""
+[ful]=F UH0 L
+[f]=F
+""")
+
+_add("""
+[giv]=G IH1 V
+ [g]i^=G
+[ge]t=G EH1
+su[gges]=G JH EH1 S
+[gg]=G
+ b#[g]=G
+[g]+=JH
+[great]=G R EY1 T
+#[gh]=
+[gh]=G
+[g]=G
+""")
+
+_add("""
+ [hav]=HH AE1 V
+ [here]=HH IY1 R
+ [hour]=AW1 ER0
+[how]=HH AW1
+[h]#=HH
+[h]=
+""")
+
+_add("""
+ [in]=IH0 N
+ [i] =AY1
+[in]d=AY1 N
+[ier]=IY0 ER0
+#:r[ied] =IY0 D
+[ied] =AY1 D
+[ien]=IY0 EH0 N
+[ie]t=AY1 EH0
+ :[i]%=AY1
+[i]%=IY0
+[ie]=IY1
+[i]^+:#=IH0
+[ir]#=AY1 R
+[iz]%=AY1 Z
+[is]%=AY1 Z
+[i]d%=AY1
++^[i]^+=IH0
+[i]t%=AY1
+#:^[i]^+=IH0
+[i]^+=AY1
+[ir]=ER0
+[igh]=AY1
+[ild]=AY1 L D
+[ign] =AY1 N
+[ign]^=AY1 N
+[ign]%=AY1 N
+[ique]=IY1 K
+[i]=IH1
+""")
+
+_add("""
+[j]=JH
+""")
+
+_add("""
+ [k]n=
+[k]=K
+""")
+
+_add("""
+[lo]c#=L OW0
+l[l]=
+#:^[l]%=AH0 L
+[lead]=L IY1 D
+[l]=L
+""")
+
+_add("""
+[mov]=M UW1 V
+[m]=M
+""")
+
+_add("""
+e[ng]+=N JH
+[ng]r=NG G
+[ng]#=NG G
+[ngl]%=NG G AH0 L
+[ng]=NG
+[nk]=NG K
+ [now] =N AW1
+[n]=N
+""")
+
+_add("""
+[of] =AH0 V
+[orough]=ER0 OW0
+#:[or] =ER0
+#:[ors] =ER0 Z
+[or]=AO1 R
+ [one]=W AH1 N
+[ow]=OW1
+ [over]=OW1 V ER0
+[ov]=AH1 V
+[o]^%=OW1
+[o]^en=OW1
+[o]^i#=OW1
+[ol]d=OW1 L
+[ought]=AO1 T
+[ough]=AH1 F
+ [ou]=AW1
+h[ou]s#=AW1
+[ous]=AH0 S
+[our]=AO1 R
+[ould]=UH1 D
+^[ou]^l=AH1
+[oup]=UW1 P
+[ou]=AW1
+[oy]=OY1
+[oing]=OW1 IH0 NG
+[oi]=OY1
+[oor]=AO1 R
+[ook]=UH1 K
+[ood]=UH1 D
+[oo]=UW1
+[o]e=OW1
+[o] =OW1
+[oa]=OW1
+ [only]=OW1 N L IY0
+ [once]=W AH1 N S
+[on't]=OW1 N T
+c[o]n=AA1
+[o]ng=AO1
+ ^[o]n=AH0
+i[on]=AH0 N
+#:[on] =AH0 N
+#^[on]=AH0 N
+[o]st =OW1
+[of]^=AO1 F
+[other]=AH1 DH ER0
+[oss] =AO1 S
+#:^[om]=AH0 M
+[o]=AA1
+""")
+
+_add("""
+[ph]=F
+[peop]=P IY1 P
+[pow]=P AW1
+[put] =P UH1 T
+[p]=P
+""")
+
+_add("""
+[quar]=K W AO1 R
+[qu]=K W
+[q]=K
+""")
+
+_add("""
+ [re]^#=R IY0
+[r]=R
+""")
+
+_add("""
+[sh]=SH
+#[sion]=ZH AH0 N
+[some]=S AH1 M
+#[sur]#=ZH ER0
+[sur]#=SH ER0
+#[su]#=ZH UW0
+#[ssu]#=SH UW0
+#[sed] =Z D
+#[s]#=Z
+[said]=S EH1 D
+^[sion]=SH AH0 N
+[s]s=
+.[s] =Z
+#:.e[s] =Z
+#:^#[s] =S
+u[s] =S
+ :#[s] =Z
+ [sch]=S K
+[s]c+=
+#[sm]=Z M
+#[sn]'=Z AH0 N
+[s]=S
+""")
+
+_add("""
+ [the] =DH AH0
+[to] =T UW1
+[that] =DH AE1 T
+ [this] =DH IH1 S
+ [they]=DH EY1
+ [there]=DH EH1 R
+[ther]=DH ER0
+[their]=DH EH1 R
+ [than] =DH AE1 N
+ [them] =DH EH1 M
+[these] =DH IY1 Z
+ [then]=DH EH1 N
+[through]=TH R UW1
+[those]=DH OW1 Z
+[though] =DH OW1
+ [thus]=DH AH1 S
+[th]=TH
+#:[ted] =T IH0 D
+s[ti]#n=CH
+[ti]o=SH
+[ti]a=SH
+[tien]=SH AH0 N
+[tur]#=CH ER0
+[tu]a=CH UW0
+ [two]=T UW1
+[t]=T
+""")
+
+_add("""
+ [un]i=Y UW1 N
+ [un]=AH0 N
+ [upon]=AH0 P AO1 N
+@[ur]#=UH1 R
+[ur]#=Y UH1 R
+[ur]=ER0
+[u]^ =AH1
+[u]^^=AH1
+[uy]=AY1
+ g[u]#=
+g[u]%=
+g[u]#=W
+#n[u]=Y UW0
+@[u]=UW1
+[u]=Y UW1
+""")
+
+_add("""
+[view]=V Y UW1
+[v]=V
+""")
+
+_add("""
+ [were]=W ER1
+[wa]s=W AA1
+[wa]t=W AA1
+[where]=W EH1 R
+[what]=W AH1 T
+[whol]=HH OW1 L
+[who]=HH UW1
+[wh]=W
+[war]=W AO1 R
+[wor]^=W ER1
+[wr]=R
+[w]=W
+""")
+
+_add("""
+ [x]=Z
+[x]=K S
+""")
+
+_add("""
+[young]=Y AH1 NG
+ [you]=Y UW1
+ [yes]=Y EH1 S
+ [y]=Y
+#:^[y] =IY0
+#:^[y]i=IY0
+ :[y] =AY1
+ :[y]#=AY1
+ :[y]^+:#=IH0
+ :[y]^#=AY1
+[y]=IH0
+""")
+
+_add("""
+[z]=Z
+""")
+
+
+def _match_left(ctx: str, word: str, pos: int) -> bool:
+    """Match ctx against word[:pos], anchored at pos, right-to-left."""
+    i = pos
+    for c in reversed(ctx):
+        if c == "#":
+            if i <= 0 or word[i - 1] not in _VOWELS:
+                return False
+            i -= 1
+            while i > 0 and word[i - 1] in _VOWELS:
+                i -= 1
+        elif c == ":":
+            while i > 0 and word[i - 1] in _CONS:
+                i -= 1
+        elif c == "^":
+            if i <= 0 or word[i - 1] not in _CONS:
+                return False
+            i -= 1
+        elif c == ".":
+            if i <= 0 or word[i - 1] not in _VOICED:
+                return False
+            i -= 1
+        elif c == "+":
+            if i <= 0 or word[i - 1] not in _FRONT:
+                return False
+            i -= 1
+        elif c == "@":
+            # non-palatalizing consonant before u (d t s n l th ch sh z j)
+            if i <= 0 or word[i - 1] not in "dtsrnlzj":
+                return False
+            i -= 1
+        elif c == " ":
+            if i != 0:
+                return False
+        elif c == "&":
+            if i <= 0 or word[i - 1] not in "cgjsxz":
+                return False
+            i -= 1
+        elif c == "'":
+            if i <= 0 or word[i - 1] != "'":
+                return False
+            i -= 1
+        else:
+            if i <= 0 or word[i - 1] != c:
+                return False
+            i -= 1
+    return True
+
+
+def _match_right(ctx: str, word: str, pos: int) -> bool:
+    """Match ctx against word[pos:], anchored at pos, left-to-right."""
+    i, n = pos, len(word)
+    for k, c in enumerate(ctx):
+        if c == "#":
+            if i >= n or word[i] not in _VOWELS:
+                return False
+            i += 1
+            while i < n and word[i] in _VOWELS:
+                i += 1
+        elif c == ":":
+            while i < n and word[i] in _CONS:
+                i += 1
+        elif c == "^":
+            if i >= n or word[i] not in _CONS:
+                return False
+            i += 1
+        elif c == ".":
+            if i >= n or word[i] not in _VOICED:
+                return False
+            i += 1
+        elif c == "+":
+            if i >= n or word[i] not in _FRONT:
+                return False
+            i += 1
+        elif c == "%":
+            rest = word[i:]
+            if not re.match(r"^(ing|e[rd]?|es|ely)", rest):
+                return False
+            return True  # '%' is always terminal in our rules
+        elif c == " ":
+            if i != n:
+                return False
+        elif c == "'":
+            if i >= n or word[i] != "'":
+                return False
+            i += 1
+        else:
+            if i >= n or word[i] != c:
+                return False
+            i += 1
+    return True
+
+
+def letters_to_arpabet(word: str) -> List[str]:
+    """Rule-based ARPAbet for one lowercase word."""
+    out: List[str] = []
+    pos = 0
+    n = len(word)
+    while pos < n:
+        ch = word[pos]
+        matched = False
+        for left, mid, right, ph in RULES.get(ch, ()):  # first match wins
+            if word.startswith(mid, pos) and _match_left(left, word, pos) \
+                    and _match_right(right, word, pos + len(mid)):
+                if ph:
+                    out.extend(ph.split())
+                pos += len(mid)
+                matched = True
+                break
+        if not matched:
+            pos += 1  # silent character (apostrophes, stray symbols)
+    return out
+
+
+def word_to_arpabet(word: str) -> List[str]:
+    if word in LEXICON:
+        return LEXICON[word].split()
+    # simple morphology: plural / past / progressive built on lexicon stems
+    for suffix, tail_fn in _MORPH:
+        if word.endswith(suffix) and word[: -len(suffix)] in LEXICON:
+            stem = LEXICON[word[: -len(suffix)]].split()
+            return stem + tail_fn(stem)
+    phones = letters_to_arpabet(word)
+    if phones and not any(p[-1].isdigit() for p in phones):
+        phones = phones  # rules always carry stress on vowels
+    return phones
+
+
+def _plural_tail(stem: List[str]) -> List[str]:
+    last = stem[-1]
+    base = last.rstrip("012")
+    if base in ("S", "Z", "SH", "ZH", "CH", "JH"):
+        return ["IH0", "Z"]
+    if base in ("P", "T", "K", "F", "TH"):
+        return ["S"]
+    return ["Z"]
+
+
+def _past_tail(stem: List[str]) -> List[str]:
+    last = stem[-1].rstrip("012")
+    if last in ("T", "D"):
+        return ["IH0", "D"]
+    if last in ("P", "K", "F", "S", "SH", "CH", "TH"):
+        return ["T"]
+    return ["D"]
+
+
+_MORPH: List[Tuple[str, object]] = [
+    ("s", _plural_tail),
+    ("ed", _past_tail),
+    ("ing", lambda stem: ["IH0", "NG"]),
+]
+
+# ---------------------------------------------------------------------------
+# ARPAbet -> espeak-flavoured IPA (restricted to text/symbols.py inventory)
+# ---------------------------------------------------------------------------
+
+ARPA_TO_IPA = {
+    "AA": "ɑː", "AE": "æ", "AH": "ʌ", "AO": "ɔː", "AW": "aʊ", "AY": "aɪ",
+    "EH": "ɛ", "ER": "ɜː", "EY": "eɪ", "IH": "ɪ", "IY": "iː", "OW": "oʊ",
+    "OY": "ɔɪ", "UH": "ʊ", "UW": "uː",
+    "B": "b", "CH": "tʃ", "D": "d", "DH": "ð", "F": "f", "G": "ɡ",
+    "HH": "h", "JH": "dʒ", "K": "k", "L": "l", "M": "m", "N": "n",
+    "NG": "ŋ", "P": "p", "R": "ɹ", "S": "s", "SH": "ʃ", "T": "t",
+    "TH": "θ", "V": "v", "W": "w", "Y": "j", "Z": "z", "ZH": "ʒ",
+}
+# unstressed variants (schwa-family reductions espeak also makes)
+_UNSTRESSED_IPA = {"AH": "ə", "ER": "ɚ", "IY": "i", "IH": "ɪ", "UW": "u"}
+# "u" is not in the model inventory; espeak uses ʊ-adjacent "uː" anyway
+_UNSTRESSED_IPA["UW"] = "uː"
+
+
+def arpabet_to_ipa(phones: List[str], with_stress: bool = True) -> str:
+    out: List[str] = []
+    seen_primary = False
+    for p in phones:
+        stress = ""
+        base = p
+        if p and p[-1].isdigit():
+            base, d = p[:-1], p[-1]
+            if d == "1":
+                stress = "ˈ"
+            elif d == "2":
+                stress = "ˌ"
+            if d == "0" and base in _UNSTRESSED_IPA:
+                out.append(_UNSTRESSED_IPA[base])
+                continue
+        ipa = ARPA_TO_IPA.get(base)
+        if ipa is None:
+            continue
+        if stress and with_stress:
+            # one primary stress per word (the rules mark every heavy vowel;
+            # espeak marks exactly one primary)
+            if stress == "ˈ" and seen_primary:
+                stress = ""
+            elif stress == "ˈ":
+                seen_primary = True
+            if stress:
+                out.append(stress)
+        out.append(ipa)
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+_word_re = re.compile(r"[a-z']+|[^a-z'\s]")
+
+
+def phonemize_en(
+    text: str, preserve_punctuation: bool = True, with_stress: bool = True
+) -> str:
+    """English text -> IPA phoneme string (one space between words).
+
+    Input should already be lowercase ASCII (the cleaner pipeline applies
+    convert_to_ascii + lowercase + expand_abbreviations first, mirroring
+    /root/reference/vits2/text/cleaners.py:100-114).
+    """
+    text = normalize_numbers(text)
+    pieces: List[str] = []
+    for token in text.split():
+        word_out: List[str] = []
+        for m in _word_re.finditer(token):
+            t = m.group(0)
+            if t[0].isalpha() or t[0] == "'":
+                phones = word_to_arpabet(t.strip("'") or t)
+                word_out.append(arpabet_to_ipa(phones, with_stress=with_stress))
+            elif preserve_punctuation and t in ";:,.!?¡¿—…\"«»“”'-":
+                word_out.append(t if t != "-" else " ")
+        piece = "".join(word_out)
+        if piece:
+            pieces.append(piece)
+    return " ".join(pieces)
