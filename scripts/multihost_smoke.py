@@ -1,0 +1,184 @@
+"""2-process multi-host smoke test for the distributed backend.
+
+Exercises parallel/mesh.py's `init_multihost` + `shard_batch`
+(jax.make_array_from_process_local_data) for real: two local processes, each
+with 4 virtual CPU devices, rendezvous through jax.distributed (the TPU-world
+analogue of the reference's env-var NCCL rendezvous,
+/root/reference/vits2/train.py:44-69), build ONE global 8-device mesh, feed
+each process ITS OWN rank shard of a global batch (like
+DistributedBucketSampler does per host), run one jitted sharded VITS2 GAN
+train step, and check both processes compute the identical global loss.
+
+Usage:  python scripts/multihost_smoke.py            # parent: spawns 2 workers
+        python scripts/multihost_smoke.py worker <i> # internal
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PROCS = 2
+DEVICES_PER_PROC = 4
+PORT = 12355
+
+
+def worker(pid: int) -> None:
+    # CPU platform with 4 local virtual devices, BEFORE any jax device init
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # gloo pairs connect over TCP on the interface each rank advertises; in a
+    # sandboxed image the default (hostname) interface may be unroutable —
+    # both ranks are local, so pin loopback
+    os.environ.setdefault("GLOO_SOCKET_IFNAME", "lo")
+    flags = [
+        f
+        for f in os.environ.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={DEVICES_PER_PROC}")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from torch_tts_tpu.parallel import init_multihost
+
+    init_multihost(
+        coordinator_address=f"localhost:{PORT}",
+        num_processes=N_PROCS,
+        process_id=pid,
+    )
+    assert jax.process_count() == N_PROCS
+    assert len(jax.devices()) == N_PROCS * DEVICES_PER_PROC, jax.devices()
+    assert len(jax.local_devices()) == DEVICES_PER_PROC
+
+    # Establish every gloo context NOW, while both processes are still
+    # synchronized by the coordinator rendezvous: gloo context init has a
+    # hard 30 s key-value timeout, so each collective path's FIRST use must
+    # not happen minutes apart (XLA compiles of the train step skew the
+    # processes by that much). Later collectives reuse established cliques.
+    # Three distinct paths get warmed: the cross-process allgather that
+    # jax.device_put uses for replicated multi-host placement, the
+    # per-device assembly in shard_batch, and the GSPMD all-reduce inside a
+    # jitted computation.
+    import numpy as np
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    from torch_tts_tpu.parallel import make_mesh, replicate, shard_batch
+    from torch_tts_tpu.parallel.mesh import replicated
+
+    warm_mesh = make_mesh()
+    multihost_utils.process_allgather(np.ones((1,), np.float32))
+    _w = replicate({"w": np.ones((3,), np.float32)}, warm_mesh)
+    warm = shard_batch(
+        {"b": np.ones((DEVICES_PER_PROC,), np.float32)}, warm_mesh
+    )
+    total = jax.jit(
+        lambda t: jnp.sum(t["b"]), out_shardings=replicated(warm_mesh)
+    )(warm)
+    assert float(jax.device_get(total)) == N_PROCS * DEVICES_PER_PROC
+    print(f"pid={pid}: gloo cliques up", flush=True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from torch_tts_tpu.models.vits2 import (
+        MultiPeriodDiscriminator,
+        SynthesizerTrn,
+    )
+    from torch_tts_tpu.parallel import make_mesh, replicate, shard_batch
+    from torch_tts_tpu.train.vits2_train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = ge._tiny_cfg()
+    hop = cfg.audio.hop_length
+    model = SynthesizerTrn(
+        n_vocab=30, spec_channels=cfg.posterior_channels,
+        segment_frames=cfg.segment_frames, cfg=cfg.model,
+    )
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+
+    # global batch of 8; each process holds ONLY its rank-interleaved half
+    # (ranks own devices [pid*4, pid*4+4) -> global rows [pid*4, pid*4+4))
+    B, T_x, T_y = N_PROCS * DEVICES_PER_PROC, 9, 24
+    rng = np.random.default_rng(0)  # same seed: the GLOBAL batch is shared
+    gbatch = {
+        "x": rng.integers(1, 30, (B, T_x)).astype(np.int32),
+        "x_lengths": np.full((B,), T_x, np.int32),
+        "spec": rng.standard_normal((B, T_y, cfg.posterior_channels)).astype(
+            np.float32
+        ),
+        "spec_lengths": np.full((B,), T_y, np.int32),
+        "wav": (rng.standard_normal((B, T_y * hop, 1)) * 0.1).astype(np.float32),
+        "wav_lengths": np.full((B,), T_y * hop, np.int32),
+    }
+    lo, hi = pid * DEVICES_PER_PROC, (pid + 1) * DEVICES_PER_PROC
+    local = {k: v[lo:hi] for k, v in gbatch.items()}
+
+    # init on the local slice shapes (init shapes only need the batch dims)
+    state, tx = create_train_state(
+        cfg, model, mpd, sample_batch={k: jnp.asarray(v) for k, v in local.items()}
+    )
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    batch = shard_batch(local, mesh)  # assembles global [8, ...] arrays
+    for v in batch.values():
+        assert v.shape[0] == B, (v.shape, "global batch must be assembled")
+
+    step_fn = jax.jit(make_train_step(cfg, model, mpd, tx))
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    loss = float(jax.device_get(metrics["loss/g/total"]))
+    assert np.isfinite(loss)
+    print(f"RESULT pid={pid} loss={loss:.6f}", flush=True)
+
+
+def main() -> None:
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "worker", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(N_PROCS)
+    ]
+    losses = {}
+    logs = []
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        logs.append(out)
+        with open(f"/tmp/multihost_smoke_w{i}.log", "w") as f:
+            f.write(out)
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                losses[i] = float(line.split("loss=")[1])
+    for i, p in enumerate(procs):
+        if p.returncode != 0:
+            for j, out in enumerate(outs):
+                print(f"----- worker {j} log -----\n{out}")
+            raise SystemExit(f"worker {i} failed rc={p.returncode}")
+    assert len(losses) == N_PROCS, f"missing results: {losses}\n{logs}"
+    assert abs(losses[0] - losses[1]) < 1e-6, losses
+    print(f"multihost_smoke OK: both processes agree, loss={losses[0]:.6f}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]))
+    else:
+        main()

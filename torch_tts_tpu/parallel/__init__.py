@@ -1,1 +1,8 @@
-from torch_tts_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from torch_tts_tpu.parallel.mesh import (
+    batch_sharding,
+    init_multihost,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)

@@ -46,9 +46,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place every array in the batch pytree with its batch axis sharded."""
+    """Place every array in the batch pytree with its batch axis sharded.
+
+    Single-process: a plain device_put with the sharded layout (the input is
+    the global batch). Multi-process: each process holds only its own
+    rank-sliced batch (DistributedBucketSampler feeds different data per
+    rank), so the local arrays must be ASSEMBLED into a global
+    [B * process_count] array — device_put would instead interpret each
+    host's local batch as the global one and silently drop/diverge data.
+    `jax.make_array_from_process_local_data` does the assembly: the global
+    shape is inferred as local_shape scaled by the sharding's cross-process
+    partitioning over the batch axis.
+    """
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)), batch
+    )
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
