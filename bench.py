@@ -77,7 +77,12 @@ def main():
     print(f"init: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     @jax.jit
-    def infer(variables, x, x_lengths, key):
+    def infer(variables, x, x_lengths, key, carry=None):
+        # `carry` chains successive calls: the noise key depends on the
+        # previous call's checksum, forcing on-device serialization for the
+        # pipelined-throughput measurement (single dispatch per call)
+        if carry is not None:
+            key = jax.random.fold_in(key, carry)
         audio, attn, y_mask, _aux, y_lengths = model.apply(
             variables, x, x_lengths,
             noise_scale=0.667, noise_scale_w=0.8, length_scale=1.0,
@@ -88,7 +93,8 @@ def main():
         # execution with only a scalar readback (the dev tunnel's
         # block_until_ready does not await, and its device->host bandwidth
         # is not representative of production serving)
-        return audio, y_lengths, jnp.sum(jnp.abs(audio))
+        csum = jnp.sum(jnp.abs(audio))
+        return audio, y_lengths, csum, csum.astype(jnp.int32) & 0x3FF
 
     t0 = time.perf_counter()
     out = infer(variables, x, x_lengths, jax.random.PRNGKey(3))
@@ -105,17 +111,55 @@ def main():
     lats = []
     for k in keys:
         t0 = time.perf_counter()
-        _a, _y, csum = infer(variables, x, x_lengths, k)
+        _a, _y, csum, _c = infer(variables, x, x_lengths, k)
         float(np.asarray(csum))
         lats.append(time.perf_counter() - t0)
     lat = float(np.median(lats))
-
-    rtf = audio_seconds / lat
     print(
         f"per-call (exec + 1 tunnel RTT): {lat*1e3:.1f} ms for "
-        f"{audio_seconds:.2f}s audio",
+        f"{audio_seconds:.2f}s audio ({audio_seconds/lat:.0f}x RT)",
         file=sys.stderr,
     )
+
+    # Pipelined throughput (the serving-relevant number): N calls whose noise
+    # keys each depend on the previous call's checksum (carried inside the
+    # jitted fn — ONE dispatch per call), so execution chains on-device while
+    # dispatch pipelines through the tunnel; ONE final fetch pays the round
+    # trip. Mirrors scripts/bench_train.py's 20-step chain.
+    n_chain = 20
+    base = jax.random.PRNGKey(42)
+    carry = jnp.zeros((), jnp.int32)
+    out = infer(variables, x, x_lengths, base, carry)  # compile chained form
+    float(np.asarray(out[2]))  # sync point
+    t0 = time.perf_counter()
+    for i in range(n_chain):
+        _a, _y, csum, carry = infer(variables, x, x_lengths, base, carry)
+    float(np.asarray(csum))
+    dt = time.perf_counter() - t0
+    rtf = n_chain * audio_seconds / dt
+    print(
+        f"pipelined: {dt/n_chain*1e3:.1f} ms/call over a {n_chain}-call "
+        f"dependent chain ({rtf:.0f}x RT)",
+        file=sys.stderr,
+    )
+
+    # MFU: compiled-model FLOPs (XLA cost analysis) over measured time vs the
+    # v5e MXU peak (197 TFLOP/s bf16; fp32 matmuls ride the same bf16 passes).
+    mfu = None
+    try:
+        cost = infer.lower(variables, x, x_lengths, base).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        peak = 197e12
+        mfu = flops / (dt / n_chain) / peak
+        print(
+            f"cost_analysis flops/call: {flops/1e9:.2f} GFLOP -> "
+            f"{flops/(dt/n_chain)/1e12:.2f} TFLOP/s = {mfu*100:.2f}% of v5e "
+            "bf16 peak (197 TFLOP/s)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # cost analysis is best-effort on some backends
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -124,6 +168,8 @@ def main():
                 "value": round(rtf, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 10.0, 3),
+                "per_call_ms": round(lat * 1e3, 1),
+                "mfu": round(mfu, 4) if mfu is not None else None,
             }
         )
     )

@@ -58,12 +58,14 @@ def bench_mel():
     import jax
     import jax.numpy as jnp
 
-    from torch_tts_tpu.audio import mel as melmod
+    from torch_tts_tpu.kernels.stft import mel_spectrogram_auto
 
     rng = np.random.default_rng(0)
     secs = 8 * 10  # 8 clips x 10 s
     y = jnp.asarray((rng.standard_normal((8, 22050 * 10)) * 0.3).astype(np.float32))
-    fn = jax.jit(lambda y: jnp.sum(melmod.mel_spectrogram(y, 1024, 80, 22050, 256, 1024)))
+    # bulk shape -> the fused Pallas STFT+mel kernel (17% faster than the
+    # XLA rfft path at this shape; scripts/bench_mel_kernel.py A/B)
+    fn = jax.jit(lambda y: jnp.sum(mel_spectrogram_auto(y, 1024, 80, 22050, 256, 1024)))
     dt = _time(fn, y)
     emit("mel_frontend_throughput", secs / dt, "audio_s_per_s")
 

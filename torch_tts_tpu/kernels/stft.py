@@ -116,10 +116,24 @@ def mel_spectrogram_fused(
     return out[0] if squeeze else out
 
 
-def mel_spectrogram_auto(y, *args, **kwargs):
-    """Fused kernel on TPU, XLA path elsewhere."""
+def mel_spectrogram_auto(y, n_fft, n_mels, sampling_rate, hop_length,
+                         win_length, fmin=0.0, fmax=None):
+    """Shape-aware dispatch, settled by on-chip A/B (BASELINE.md):
+
+    the fused kernel wins ~17% at bulk-extraction shapes (thousands of
+    frames, MXU-bound) but loses ~16% at the train step's tiny y_hat_mel
+    slice (264 frames — grid too small to amortize kernel launch/pipelining).
+    Dispatch to the kernel only on TPU at >= 2048 total frames; XLA (rfft)
+    otherwise.
+    """
     from torch_tts_tpu.audio import mel as melmod
 
-    if jax.default_backend() == "tpu":
-        return mel_spectrogram_fused(y, *args, **kwargs)
-    return melmod.mel_spectrogram(y, *args, **kwargs)
+    B = 1 if y.ndim == 1 else y.shape[0]
+    n_frames = B * (1 + y.shape[-1] // hop_length)
+    if jax.default_backend() == "tpu" and n_frames >= 2048:
+        return mel_spectrogram_fused(
+            y, n_fft, n_mels, sampling_rate, hop_length, win_length, fmin, fmax
+        )
+    return melmod.mel_spectrogram(
+        y, n_fft, n_mels, sampling_rate, hop_length, win_length, fmin, fmax
+    )
