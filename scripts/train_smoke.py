@@ -103,6 +103,17 @@ def main():
     print(f"mel loss: {first:.2f} -> {last:.2f} "
           f"({'PASS' if last < 0.8 * first else 'FAIL'})")
 
+    # save the trained generator so __graft_entry__.entry() can run the
+    # driver's forward probe on real (trained) weights
+    from flax import serialization
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(repo, "artifacts", "entry_params.msgpack")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(trainer.state.params_g)))
+    print(f"saved trained generator params -> {out}")
+
 
 if __name__ == "__main__":
     main()
