@@ -34,6 +34,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, use_bf16=True)
         )
+    if "--no-nanskip" in sys.argv:  # A/B the in-jit NaN-skip select cost
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, skip_nonfinite=False)
+        )
     model = SynthesizerTrn(
         n_vocab=len(symbols), spec_channels=cfg.posterior_channels,
         segment_frames=cfg.segment_frames, cfg=cfg.model,
@@ -81,11 +85,37 @@ def main():
         f"({B/dt:.1f} utts/s, loss {final_loss:.2f})",
         file=sys.stderr,
     )
+
+    # MFU: XLA-counted FLOPs of the compiled step over measured step time vs
+    # the v5e MXU peak (197 TFLOP/s bf16; fp32 matmuls ride bf16 MXU passes).
+    mfu = None
+    try:
+        # reuse the ALREADY-jitted step (a fresh jit without donate_argnums
+        # would be a second multi-minute compile)
+        cost = (
+            step_fn
+            .lower(state, batch, jax.random.PRNGKey(0))
+            .compile()
+            .cost_analysis()
+        )
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        peak = 197e12
+        mfu = flops / dt / peak
+        print(
+            f"cost_analysis flops/step: {flops/1e9:.1f} GFLOP -> "
+            f"{flops/dt/1e12:.2f} TFLOP/s = {mfu*100:.2f}% of v5e bf16 peak",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "vits2_train_step_batch8_1000frames",
         "value": round(1 / dt, 3),
         "unit": "steps_per_s",
         "vs_baseline": None,
+        "mfu": round(mfu, 4) if mfu is not None else None,
     }))
 
 

@@ -202,3 +202,54 @@ def test_train_step_lightning_order(rng):
     a = jax.tree.leaves(state.params_g)[0]
     b = jax.tree.leaves(new_state.params_g)[0]
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+
+
+def test_train_step_lightning_weighting(rng):
+    """cli.py loss weighting (vits2/cli.py:325-337): total G loss is the
+    coefficient-weighted mean-combination normalized by the coefficient sum,
+    with gen meaned (not summed) over sub-discriminators."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, step_order="lightning",
+                                       c_mel=10.0, c_kl=0.2)
+    )
+    model, mpd, dd, batch, state, step_fn = build_all(cfg, rng)
+    _, m = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(0))
+    t = cfg.train
+    expected = (
+        float(m["loss/g/gen"])
+        + t.c_fm * float(m["loss/g/fm"])
+        + t.c_dur * float(m["loss/g/dur"])
+        + t.c_kl * float(m["loss/g/kl"])
+        + t.c_mel * float(m["loss/g/mel"])
+    ) / (1.0 + t.c_fm + t.c_dur + t.c_kl + t.c_mel)
+    np.testing.assert_allclose(float(m["loss/g/total"]), expected, rtol=1e-5)
+
+
+def test_train_step_skips_nonfinite(rng):
+    """Failure detection is folded into the jitted step: a batch producing a
+    non-finite loss leaves the parameters and step counter untouched and
+    raises the `nonfinite` metric — no host-side sync required. (The
+    optimizer's EMA state decays once on a skipped step — the documented
+    price of the donation-friendly zero-the-updates formulation.)"""
+    cfg = tiny_config()
+    model, mpd, dd, batch, state, step_fn = build_all(cfg, rng)
+    step_jit = jax.jit(step_fn)
+    s1, m1 = step_jit(state, batch, jax.random.PRNGKey(0))
+    assert float(m1["nonfinite"]) == 0.0
+
+    bad = dict(batch)
+    bad["spec"] = jnp.full_like(batch["spec"], jnp.nan)
+    s2, m2 = step_jit(s1, bad, jax.random.PRNGKey(1))
+    assert float(m2["nonfinite"]) == 1.0
+    assert int(s2.step) == int(s1.step)
+    for p1, p2 in ((s1.params_g, s2.params_g), (s1.params_d, s2.params_d)):
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, p2
+        )
+        assert max(jax.tree.leaves(diffs)) == 0.0
+
+    # recovery: the next good batch advances again
+    s3, m3 = step_jit(s2, batch, jax.random.PRNGKey(2))
+    assert float(m3["nonfinite"]) == 0.0
+    assert int(s3.step) == int(s1.step) + 1

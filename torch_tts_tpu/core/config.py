@@ -110,13 +110,29 @@ class VITS2TrainConfig:
     segment_size: int = 8192
     c_mel: float = 45.0
     c_kl: float = 1.0
+    # cli.py-only coefficients (vits2/cli.py:154-156), used by the
+    # "lightning" step: G loss = (gen + c_fm*fm + c_dur*dur + c_kl*kl +
+    # c_mel*mel) / (1 + c_fm + c_dur + c_kl + c_mel). The "ddp" step ignores
+    # them (train.py weights fm and dur at 1 with no normalization).
+    c_fm: float = 0.2
+    c_dur: float = 1.0
     # bf16 compute / fp32 params+losses (the TPU analogue of the reference's
     # AMP, vits2/train.py:255,331 — no loss scaling needed on TPU)
     use_bf16: bool = False
-    # GAN step ordering: "ddp" = reference train.py (D updates first, G sees
-    # the updated D — costs a second generator forward); "lightning" =
-    # reference cli.py (G updates against the current D, then D updates on
-    # the detached audio — one generator forward, ~25% faster)
+    # failure detection (SURVEY.md §5, beyond the reference): fold a
+    # skip-on-non-finite-loss select into the jitted step so training never
+    # host-syncs on the loss value
+    skip_nonfinite: bool = True
+    # GAN step: "ddp" = reference train.py (D updates first, G sees the
+    # updated D — costs a second generator forward; losses summed over
+    # sub-discriminators, G loss = gen + fm + c_mel*mel + dur + c_kl*kl);
+    # "lightning" = reference cli.py (G updates against the current D, then D
+    # updates on the detached audio — one generator forward, ~25% faster;
+    # losses MEANed over sub-discriminators and the G loss normalized by the
+    # coefficient sum, cli.py:312-356). Full cli.py parity: ordering AND
+    # weighting. Note cli.py's own coefficient defaults differ from
+    # train.py's (c_mel 10 vs 45, c_kl 0.2 vs 1) — set them in the YAML when
+    # training with the lightning recipe.
     step_order: str = "ddp"
     epochs: int = 20000
     log_interval: int = 200

@@ -133,6 +133,8 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
     use_noise_mas = cfg.model.use_noise_scaled_mas
     c_mel = cfg.train.c_mel
     c_kl = cfg.train.c_kl
+    c_fm = cfg.train.c_fm
+    c_dur = cfg.train.c_dur
     multispeaker = cfg.model.n_speakers > 1
     use_bf16 = cfg.train.use_bf16
 
@@ -152,6 +154,35 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
             wav_sq, a.filter_length, a.n_mel_channels, a.sampling_rate,
             hop, a.win_length, a.mel_fmin, a.mel_fmax,
         )
+
+    skip_nonfinite = getattr(cfg.train, "skip_nonfinite", True)
+
+    def _guarded_update(loss, grads, opt_state, params):
+        """Skip-on-non-finite folded into the jitted step (SURVEY.md §5
+        failure detection, beyond the reference): the training loop never has
+        to host-sync on the loss value, preserving pipelined dispatch over
+        the TPU tunnel.
+
+        Formulated donation-friendly: gradients are zeroed when the loss or
+        any gradient is non-finite, and the optimizer's resulting updates are
+        scaled to zero, so parameters stay bit-identical through the ordinary
+        in-place `params + update` path. (The obvious alternative — a
+        full-tree jnp.where select of new-vs-old state — keeps BOTH state
+        copies alive, defeats XLA buffer donation, and measured +57% step
+        time on v5e.) On a skipped step the optimizer's EMA state decays once
+        toward zero and its count advances — bounded, finite, and documented.
+        Returns (new_params, new_opt_state, ok)."""
+        if not skip_nonfinite:
+            upd, new_opt = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, upd), new_opt, jnp.bool_(True)
+        ok = jnp.isfinite(loss) & jnp.isfinite(global_norm(grads))
+        grads = jax.tree.map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+        )
+        upd, new_opt = tx.update(grads, opt_state, params)
+        okf = ok.astype(jnp.float32)
+        upd = jax.tree.map(lambda u: u * okf.astype(u.dtype), upd)
+        return optax.apply_updates(params, upd), new_opt, ok
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         x, x_lengths = batch["x"], batch["x_lengths"]
@@ -203,11 +234,13 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
         (loss_disc, _), grads_d = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.params_d
         )
-        upd_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
-        params_d = optax.apply_updates(state.params_d, upd_d)
+        params_d, opt_d, ok_d = _guarded_update(
+            loss_disc, grads_d, state.opt_d, state.params_d
+        )
 
         # ---- 3. duration discriminator step (optional) ----
         metrics_extra = {}
+        ok_dur = jnp.bool_(True)
         params_dur, opt_dur = state.params_dur, state.opt_dur
         if dur_disc is not None:
             hx_sg = jax.lax.stop_gradient(hx)
@@ -223,8 +256,9 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
                 return loss
 
             loss_dur_disc, grads_dur = jax.value_and_grad(dur_loss_fn)(params_dur)
-            upd_dur, opt_dur = tx.update(grads_dur, state.opt_dur, params_dur)
-            params_dur = optax.apply_updates(params_dur, upd_dur)
+            params_dur, opt_dur, ok_dur = _guarded_update(
+                loss_dur_disc, grads_dur, state.opt_dur, params_dur
+            )
             metrics_extra = {
                 "loss/dur_disc": loss_dur_disc,
                 "grad_norm_dur_disc": global_norm(grads_dur),
@@ -268,11 +302,13 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
         (loss_g, aux_g), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.params_g
         )
-        upd_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
-        params_g = optax.apply_updates(state.params_g, upd_g)
+        params_g, opt_g, ok_g = _guarded_update(
+            loss_g, grads_g, state.opt_g, state.params_g
+        )
 
+        ok_all = ok_g & ok_d & ok_dur
         new_state = state.replace(
-            step=state.step + 1,
+            step=state.step + ok_all.astype(state.step.dtype),
             params_g=params_g,
             opt_g=opt_g,
             params_d=params_d,
@@ -284,14 +320,20 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
             "loss/d/total": loss_disc,
             "grad_norm_d": global_norm(grads_d),
             "grad_norm_g": global_norm(grads_g),
+            "nonfinite": 1.0 - ok_all.astype(jnp.float32),
             **aux_g,
             **metrics_extra,
         }
         return new_state, metrics
 
     def train_step_lightning(state: TrainState, batch, rng: jax.Array):
-        """cli.py ordering (vits2/cli.py:312-356): one generator forward —
-        G updates against the current D, then D trains on the detached audio."""
+        """cli.py step (vits2/cli.py:312-356): one generator forward — G
+        updates against the current D, then D trains on the detached audio.
+        Loss weighting is also cli.py's: gen/disc losses are MEANed over the
+        sub-discriminators (vs train.py's sum) and the total G loss is
+        normalized by (1 + c_fm + c_dur + c_kl + c_mel) (cli.py:325-337).
+        The optional duration-discriminator term (absent from cli.py, where
+        it is commented out at :237-253) joins the numerator with weight 1."""
         x, x_lengths = batch["x"], batch["x_lengths"]
         spec, spec_lengths = batch["spec"], batch["spec_lengths"]
         wav = batch["wav"]
@@ -326,11 +368,18 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
                 {"params": _cast(state.params_d)}, _cast(y_slice), y_hat
             )
             loss_dur = jnp.sum(l_length.astype(jnp.float32))
-            loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * c_mel
-            loss_kl = kl_loss(z_p, logs_q, m_p, logs_p, z_mask) * c_kl
+            loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel))
+            loss_kl = kl_loss(z_p, logs_q, m_p, logs_p, z_mask)
             loss_fm = feature_loss(fmap_r, fmap_g)
-            loss_gen, _ = generator_loss(y_d_g)
-            loss_all = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl
+            _, gen_per = generator_loss(y_d_g)
+            loss_gen = jnp.mean(gen_per)  # cli.py:314 mean, not sum
+            loss_all = (
+                loss_gen
+                + c_fm * loss_fm
+                + c_dur * loss_dur
+                + c_kl * loss_kl
+                + c_mel * loss_mel
+            ) / (1.0 + c_fm + c_dur + c_kl + c_mel)
             if dur_disc is not None:
                 _pr, prob_g = dur_disc.apply(
                     {"params": _cast(state.params_dur)}, hx, x_mask, logw_, logw
@@ -356,8 +405,9 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
         (loss_g, aux_g), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.params_g
         )
-        upd_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
-        params_g = optax.apply_updates(state.params_g, upd_g)
+        params_g, opt_g, ok_g = _guarded_update(
+            loss_g, grads_g, state.opt_g, state.params_g
+        )
 
         y_hat_sg = aux_g.pop("_y_hat")
         y_slice = aux_g.pop("_y_slice")
@@ -370,14 +420,16 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
             y_d_r, y_d_g, _, _ = mpd.apply(
                 {"params": _cast(params_d)}, _cast(y_slice), y_hat_sg
             )
-            loss_disc, _, _ = discriminator_loss(y_d_r, y_d_g)
-            return loss_disc
+            _, r_l, g_l = discriminator_loss(y_d_r, y_d_g)
+            return jnp.mean(r_l) + jnp.mean(g_l)  # cli.py:350 mean, not sum
 
         loss_disc, grads_d = jax.value_and_grad(d_loss_fn)(state.params_d)
-        upd_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
-        params_d = optax.apply_updates(state.params_d, upd_d)
+        params_d, opt_d, ok_d = _guarded_update(
+            loss_disc, grads_d, state.opt_d, state.params_d
+        )
 
         metrics_extra = {}
+        ok_dur = jnp.bool_(True)
         params_dur, opt_dur = state.params_dur, state.opt_dur
         if dur_disc is not None:
             def dur_loss_fn(p):
@@ -388,15 +440,17 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
                 return loss
 
             loss_dur_disc, grads_dur = jax.value_and_grad(dur_loss_fn)(params_dur)
-            upd_dur, opt_dur = tx.update(grads_dur, state.opt_dur, params_dur)
-            params_dur = optax.apply_updates(params_dur, upd_dur)
+            params_dur, opt_dur, ok_dur = _guarded_update(
+                loss_dur_disc, grads_dur, state.opt_dur, params_dur
+            )
             metrics_extra = {
                 "loss/dur_disc": loss_dur_disc,
                 "grad_norm_dur_disc": global_norm(grads_dur),
             }
 
+        ok_all = ok_g & ok_d & ok_dur
         new_state = state.replace(
-            step=state.step + 1,
+            step=state.step + ok_all.astype(state.step.dtype),
             params_g=params_g, opt_g=opt_g,
             params_d=params_d, opt_d=opt_d,
             params_dur=params_dur, opt_dur=opt_dur,
@@ -405,6 +459,7 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
             "loss/d/total": loss_disc,
             "grad_norm_d": global_norm(grads_d),
             "grad_norm_g": global_norm(grads_g),
+            "nonfinite": 1.0 - ok_all.astype(jnp.float32),
             **aux_g,
             **metrics_extra,
         }
@@ -413,3 +468,48 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
     if getattr(cfg.train, "step_order", "ddp") == "lightning":
         return train_step_lightning
     return train_step
+
+
+def make_eval_step(cfg: VITS2Config, model):
+    """Generator losses on a held-out batch (no updates, no discriminators).
+
+    The reference's evaluate() only logs inference samples
+    (/root/reference/vits2/train.py:535-594) — this adds the scalar
+    generalization signal it lacks: eval-set mel / KL / duration losses from
+    the same training-forward path, deterministically seeded.
+    """
+    a = cfg.audio
+    seg_frames = cfg.segment_frames
+    use_mel_post = cfg.model.use_mel_posterior_encoder
+    multispeaker = cfg.model.n_speakers > 1
+    c_mel, c_kl = cfg.train.c_mel, cfg.train.c_kl
+
+    def eval_step(params_g, batch: Dict[str, jax.Array], rng: jax.Array):
+        sid = batch.get("sid") if multispeaker else None
+        k_noise, k_drop = jax.random.split(rng, 2)
+        out = model.apply(
+            {"params": params_g},
+            batch["x"], batch["x_lengths"], batch["spec"],
+            batch["spec_lengths"], sid=sid,
+            mas_noise_scale=None, deterministic=True,
+            rngs={"noise": k_noise, "dropout": k_drop},
+        )
+        (y_hat, l_length, _attn, ids, _xm, z_mask, latents, _dur) = out
+        _z, z_p, m_p, logs_p, _mq, logs_q = latents
+        mel = batch["spec"] if use_mel_post else melmod.spec_to_mel(
+            batch["spec"], a.filter_length, a.n_mel_channels,
+            a.sampling_rate, a.mel_fmin, a.mel_fmax,
+        )
+        y_mel = slice_segments(mel, ids, seg_frames)
+        y_hat_mel = melmod.mel_spectrogram(
+            y_hat[..., 0].astype(jnp.float32), a.filter_length,
+            a.n_mel_channels, a.sampling_rate, a.hop_length, a.win_length,
+            a.mel_fmin, a.mel_fmax,
+        )
+        return {
+            "eval/loss_mel": jnp.mean(jnp.abs(y_mel - y_hat_mel)) * c_mel,
+            "eval/loss_kl": kl_loss(z_p, logs_q, m_p, logs_p, z_mask) * c_kl,
+            "eval/loss_dur": jnp.sum(l_length.astype(jnp.float32)),
+        }
+
+    return eval_step

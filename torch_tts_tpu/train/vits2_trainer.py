@@ -82,10 +82,17 @@ class VITS2Trainer:
         self.train_dataset = train_dataset
         self.eval_dataset = eval_dataset
         boundaries = bucket_boundaries or BUCKET_BOUNDARIES
+        # all host-side artifacts (TB events, checkpoints, eval) are produced
+        # by process 0 only — the reference gates the same work on rank 0
+        # (vits2/train.py:64-65,434-528)
+        self.is_lead = jax.process_index() == 0
         os.makedirs(model_dir, exist_ok=True)
-        lu.check_git_hash(model_dir)
-        self.writer = lu.make_writer(model_dir)
-        self.writer_eval = lu.make_writer(os.path.join(model_dir, "eval"))
+        if self.is_lead:
+            lu.check_git_hash(model_dir)
+            self.writer = lu.make_writer(model_dir)
+            self.writer_eval = lu.make_writer(os.path.join(model_dir, "eval"))
+        else:
+            self.writer = self.writer_eval = None
 
         self.model, self.mpd, self.dur_disc = build_models(cfg)
         self.mesh = make_mesh() if use_mesh else None
@@ -126,6 +133,7 @@ class VITS2Trainer:
             self.state = ckpt.restore_checkpoint(latest, self.state)
 
         self.rng = jax.random.PRNGKey(cfg.train.seed)
+        self._eval_step = None  # jitted lazily on first evaluate()
 
     def _make_batch(self, pad_frames: int, idxs):
         samples = [self.train_dataset[i] for i in idxs]
@@ -180,6 +188,7 @@ class VITS2Trainer:
         step = int(jax.device_get(self.state.step))
         t_last = time.perf_counter()
         profiling = False
+        nonfinite_acc = jax.numpy.zeros(())  # device-side skip counter
         for epoch in range(1, epochs + 1):
             self.sampler.set_epoch(epoch)
             if self.use_native_loader:
@@ -196,27 +205,14 @@ class VITS2Trainer:
                     profiling = True
                 self.rng, sub = jax.random.split(self.rng)
                 new_state, metrics = self.step_fn(self.state, batch, sub)
-                # failure detection the reference lacks (SURVEY.md §5): a
-                # non-finite loss drops the update instead of poisoning the
-                # run; persistent NaNs abort with the last good checkpoint.
-                loss = float(jax.device_get(metrics["loss/g/total"]))
-                if not np.isfinite(loss):
-                    self._nan_streak = getattr(self, "_nan_streak", 0) + 1
-                    logger.warning(
-                        "non-finite loss at step %d (streak %d) — skipping update",
-                        step, self._nan_streak,
-                    )
-                    if self._nan_streak >= 10:
-                        ckpt.save_checkpoint(
-                            self.model_dir, step, self.state,
-                            keep=cfg.train.keep_ckpts,
-                        )
-                        raise FloatingPointError(
-                            "10 consecutive non-finite losses; state saved"
-                        )
-                    continue
-                self._nan_streak = 0
+                # failure detection the reference lacks (SURVEY.md §5): the
+                # jitted step itself drops non-finite updates (device-side
+                # jnp.where select in vits2_train._skip_if_nonfinite), so no
+                # per-step host sync is needed — dispatch stays pipelined
+                # over the TPU tunnel. The skip count accumulates lazily on
+                # device and is only fetched at log_interval.
                 self.state = new_state
+                nonfinite_acc = nonfinite_acc + metrics["nonfinite"]
                 step += 1
                 if profiling and step >= profile_steps[1]:
                     jax.block_until_ready(metrics)
@@ -227,10 +223,30 @@ class VITS2Trainer:
                     dt = time.perf_counter() - t_last
                     t_last = time.perf_counter()
                     m["perf/steps_per_s"] = cfg.train.log_interval / dt
-                    lu.summarize(self.writer, step, scalars=m)
+                    skipped = float(jax.device_get(nonfinite_acc))
+                    nonfinite_acc = jax.numpy.zeros(())
+                    m["perf/nonfinite_skipped"] = skipped
+                    if skipped:
+                        logger.warning(
+                            "%d of the last %d steps had non-finite losses "
+                            "(updates were skipped in-step)",
+                            int(skipped), cfg.train.log_interval,
+                        )
+                    if skipped >= cfg.train.log_interval:
+                        if self.is_lead:
+                            ckpt.save_checkpoint(
+                                self.model_dir, step, self.state,
+                                keep=cfg.train.keep_ckpts,
+                            )
+                        raise FloatingPointError(
+                            "every step in the last log window had a "
+                            "non-finite loss; state saved"
+                        )
+                    if self.is_lead:
+                        lu.summarize(self.writer, step, scalars=m)
                     logger.info("step %d: %s", step,
                                 {k: round(v, 4) for k, v in m.items()})
-                if step % cfg.train.eval_interval == 0:
+                if step % cfg.train.eval_interval == 0 and self.is_lead:
                     self.evaluate(step)
                     ckpt.save_checkpoint(
                         self.model_dir, step, self.state, keep=cfg.train.keep_ckpts
@@ -242,11 +258,28 @@ class VITS2Trainer:
             return
         import jax.numpy as jnp
 
+        from torch_tts_tpu.train.vits2_train import make_eval_step
+
         sample = collate_batch(
             [self.eval_dataset[i] for i in range(min(4, len(self.eval_dataset)))],
             pad_text_to=self.pad_text,
         )
         params = jax.device_get(self.state.params_g)
+
+        # scalar eval-set losses (mel/kl/dur on the training-forward path) —
+        # the generalization signal the reference's evaluate() lacks
+        if self._eval_step is None:
+            self._eval_step = jax.jit(make_eval_step(self.cfg, self.model))
+        eval_metrics = self._eval_step(
+            {k: jnp.asarray(v) for k, v in params.items()},
+            {k: jnp.asarray(v) for k, v in sample.items()},
+            jax.random.PRNGKey(0),
+        )
+        eval_scalars = {
+            k: float(v) for k, v in jax.device_get(eval_metrics).items()
+        }
+        logger.info("eval step %d: %s", step,
+                    {k: round(v, 4) for k, v in eval_scalars.items()})
         max_frames = self.eval_max_frames
         audio, attn, y_mask, _aux, y_lengths = self.model.apply(
             {"params": params},
@@ -269,6 +302,6 @@ class VITS2Trainer:
             for i in range(min(2, audio.shape[0]))
         }
         lu.summarize(
-            self.writer_eval, step, images=images, audios=audios,
-            audio_sampling_rate=self.cfg.audio.sampling_rate,
+            self.writer_eval, step, scalars=eval_scalars, images=images,
+            audios=audios, audio_sampling_rate=self.cfg.audio.sampling_rate,
         )
