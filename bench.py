@@ -143,6 +143,32 @@ def main():
         file=sys.stderr,
     )
 
+    # Batched serving throughput: the production lever — MXU utilization at
+    # these conv widths scales near-linearly with batch (BASELINE.md), so a
+    # serving deployment batches requests (infer/serving.py buckets them).
+    # Same pipelined-chain methodology at batch 8.
+    BB = 8
+    xb = jnp.asarray(rng.integers(1, len(symbols), (BB, T_X)), jnp.int32)
+    xb_lengths = jnp.full((BB,), T_X, jnp.int32)
+    t0 = time.perf_counter()
+    out = infer(variables, xb, xb_lengths, base, carry)
+    float(np.asarray(out[2]))
+    print(f"batch-{BB} compile+first: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    n_bchain = 10
+    t0 = time.perf_counter()
+    for i in range(n_bchain):
+        _a, _y, csum, carry = infer(variables, xb, xb_lengths, base, carry)
+    float(np.asarray(csum))
+    bdt = time.perf_counter() - t0
+    batched_rtf = n_bchain * BB * audio_seconds / bdt
+    print(
+        f"batched (B={BB}): {bdt/n_bchain*1e3:.1f} ms/call -> "
+        f"{batched_rtf:.0f}x RT per chip "
+        f"({batched_rtf/max(rtf,1e-9):.1f}x the single-stream throughput)",
+        file=sys.stderr,
+    )
+
     # MFU: compiled-model FLOPs (XLA cost analysis) over measured time vs the
     # v5e MXU peak (197 TFLOP/s bf16; fp32 matmuls ride the same bf16 passes).
     mfu = None
@@ -170,6 +196,7 @@ def main():
                 "vs_baseline": round(rtf / 10.0, 3),
                 "per_call_ms": round(lat * 1e3, 1),
                 "mfu": round(mfu, 4) if mfu is not None else None,
+                "batched_rtf_b8": round(batched_rtf, 2),
             }
         )
     )
