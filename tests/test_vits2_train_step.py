@@ -253,3 +253,25 @@ def test_train_step_skips_nonfinite(rng):
     s3, m3 = step_jit(s2, batch, jax.random.PRNGKey(2))
     assert float(m3["nonfinite"]) == 0.0
     assert int(s3.step) == int(s1.step) + 1
+
+
+def test_eval_step_metrics(rng):
+    """make_eval_step: held-out mel/KL/duration losses from the training
+    forward — finite, deterministic under a fixed key, and responsive to the
+    parameters (different params -> different losses)."""
+    from torch_tts_tpu.train.vits2_train import make_eval_step
+
+    cfg = tiny_config()
+    model, mpd, dd, batch, state, step_fn = build_all(cfg, rng)
+    eval_jit = jax.jit(make_eval_step(cfg, model))
+
+    m1 = eval_jit(state.params_g, batch, jax.random.PRNGKey(0))
+    m2 = eval_jit(state.params_g, batch, jax.random.PRNGKey(0))
+    assert set(m1) == {"eval/loss_mel", "eval/loss_kl", "eval/loss_dur"}
+    for k in m1:
+        assert np.isfinite(float(m1[k])), k
+        np.testing.assert_array_equal(np.asarray(m1[k]), np.asarray(m2[k]))
+
+    s2, _ = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(1))
+    m3 = eval_jit(s2.params_g, batch, jax.random.PRNGKey(0))
+    assert float(m3["eval/loss_mel"]) != float(m1["eval/loss_mel"])
