@@ -27,7 +27,9 @@ DEVICES_PER_PROC = 4
 PORT = 12355
 
 
-def worker(pid: int) -> None:
+def _bootstrap(pid: int) -> None:
+    """Env + jax.distributed init + gloo-context warmups (shared by both
+    smoke modes)."""
     # CPU platform with 4 local virtual devices, BEFORE any jax device init
     os.environ["JAX_PLATFORMS"] = "cpu"
     # gloo pairs connect over TCP on the interface each rank advertises; in a
@@ -91,6 +93,10 @@ def worker(pid: int) -> None:
     assert float(jax.device_get(total)) == N_PROCS * DEVICES_PER_PROC
     print(f"pid={pid}: gloo cliques up", flush=True)
 
+
+def worker(pid: int) -> None:
+    _bootstrap(pid)
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -147,11 +153,80 @@ def worker(pid: int) -> None:
     print(f"RESULT pid={pid} loss={loss:.6f}", flush=True)
 
 
-def main() -> None:
+def worker_trainer(pid: int, root: str, model_dir: str) -> None:
+    """Trainer-loop mode: the full VITS2Trainer on 2 processes — rank-sharded
+    DistributedBucketSampler feeding, cross-process batch assembly in
+    _make_batch, lead-gated TB/checkpoint artifacts, and the real train()
+    loop (log-interval metrics fetch, in-step NaN accounting) — on a tiny
+    model over a synthetic corpus. Asserts a finite loss on both ranks and
+    that only rank 0 wrote host-side artifacts."""
+    _bootstrap(pid)
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from torch_tts_tpu.core.config import VITS2Config, VITS2ModelConfig
+    from torch_tts_tpu.data.dataset import TextAudioDataset
+    from torch_tts_tpu.train.vits2_trainer import VITS2Trainer
+
+    cfg = VITS2Config()
+    tiny = VITS2ModelConfig(
+        inter_channels=16, hidden_channels=16, filter_channels=32, n_heads=2,
+        n_layers=1, kernel_size=3, p_dropout=0.1, resblock="2",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(8, 8, 2, 2), upsample_initial_channel=32,
+        upsample_kernel_sizes=(16, 16, 4, 4), use_sdp=True,
+        use_transformer_flows=True, transformer_flow_type="pre_conv",
+        segment_size=4 * cfg.audio.hop_length, use_noise_scaled_mas=True,
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        model=tiny,
+        train=dataclasses.replace(
+            cfg.train, batch_size=4, log_interval=2, eval_interval=4
+        ),
+    )
+    ds = TextAudioDataset.from_ljspeech(root, cfg.audio, cfg.data, use_mel=True)
+    trainer = VITS2Trainer(
+        cfg, model_dir, ds, eval_dataset=None,
+        bucket_boundaries=[16, 160], pad_text_to=48, eval_max_frames=64,
+    )
+    assert trainer.is_lead == (pid == 0)
+    assert (trainer.writer is not None) == (pid == 0)
+    # 16 utts / (batch 4 x 2 ranks) = 2 steps/epoch; 3 epochs crosses the
+    # eval_interval=4 boundary so the lead-gated checkpoint path runs
+    trainer.train(epochs=3)
+    # one extra manual step for a cross-rank loss agreement check
+    sched = list(trainer.sampler)
+    pad_frames, idxs = sched[0]
+    batch = trainer._make_batch(pad_frames, idxs)
+    trainer.rng, sub = jax.random.split(trainer.rng)
+    _st, metrics = trainer.step_fn(trainer.state, batch, sub)
+    loss = float(jax.device_get(metrics["loss/g/total"]))
+    assert np.isfinite(loss)
+    print(f"RESULT pid={pid} loss={loss:.6f}", flush=True)
+
+
+def main(mode: str = "step") -> None:
     env = dict(os.environ)
+    extra = []
+    if mode == "trainer":
+        # parent builds the corpus ONCE (workers must not race on the files)
+        import tempfile
+
+        work = tempfile.mkdtemp(prefix="mh_trainer_")
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from train_smoke import make_corpus
+
+        root = make_corpus(os.path.join(work, "data"), n=16)
+        model_dir = os.path.join(work, "run")
+        extra = [root, model_dir]
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "worker", str(i)],
+            [sys.executable, os.path.abspath(__file__), f"worker-{mode}",
+             str(i), *extra],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -159,7 +234,7 @@ def main() -> None:
     ]
     losses = {}
     logs = []
-    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    outs = [p.communicate(timeout=2400)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         logs.append(out)
         with open(f"/tmp/multihost_smoke_w{i}.log", "w") as f:
@@ -174,11 +249,26 @@ def main() -> None:
             raise SystemExit(f"worker {i} failed rc={p.returncode}")
     assert len(losses) == N_PROCS, f"missing results: {losses}\n{logs}"
     assert abs(losses[0] - losses[1]) < 1e-6, losses
-    print(f"multihost_smoke OK: both processes agree, loss={losses[0]:.6f}")
+    if mode == "trainer":
+        import glob
+
+        run = extra[1]
+        events = glob.glob(os.path.join(run, "events.*"))
+        ckpts = glob.glob(os.path.join(run, "ckpt_*.msgpack"))
+        assert events, f"rank 0 wrote no TB events in {run}"
+        assert ckpts, f"rank 0 wrote no checkpoint in {run}"
+        print(f"trainer artifacts: {len(events)} event file(s), "
+              f"{len(ckpts)} checkpoint(s) — written once, by rank 0")
+    print(f"multihost_smoke[{mode}] OK: both processes agree, "
+          f"loss={losses[0]:.6f}")
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker-step":
+        worker(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "worker-trainer":
+        worker_trainer(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "worker":  # back-compat
         worker(int(sys.argv[2]))
     else:
-        main()
+        main("trainer" if "--trainer" in sys.argv else "step")

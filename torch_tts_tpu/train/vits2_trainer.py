@@ -188,7 +188,11 @@ class VITS2Trainer:
         step = int(jax.device_get(self.state.step))
         t_last = time.perf_counter()
         profiling = False
-        nonfinite_acc = jax.numpy.zeros(())  # device-side skip counter
+        # device-side skip counter; starts as a python float so the first add
+        # adopts the (global, replicated) sharding of metrics["nonfinite"] —
+        # a process-local zeros(()) would clash with global arrays on
+        # multi-host
+        nonfinite_acc = 0.0
         for epoch in range(1, epochs + 1):
             self.sampler.set_epoch(epoch)
             if self.use_native_loader:
@@ -224,7 +228,7 @@ class VITS2Trainer:
                     t_last = time.perf_counter()
                     m["perf/steps_per_s"] = cfg.train.log_interval / dt
                     skipped = float(jax.device_get(nonfinite_acc))
-                    nonfinite_acc = jax.numpy.zeros(())
+                    nonfinite_acc = 0.0
                     m["perf/nonfinite_skipped"] = skipped
                     if skipped:
                         logger.warning(
