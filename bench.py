@@ -187,6 +187,71 @@ def main():
     except Exception as e:  # cost analysis is best-effort on some backends
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
 
+    # Beyond-parity decoder (MB-iSTFT, ops/mb_istft.py): same model except
+    # the lightweight multi-band decoder — measured here so the headline
+    # artifact carries both the parity number and the best number.
+    mb_rtf = None
+    try:
+        import dataclasses as _dc
+
+        mb_cfg = _dc.replace(
+            cfg,
+            model=_dc.replace(
+                cfg.model, decoder_type="mb_istft", pack_narrow_convs=False,
+                upsample_rates=(4, 4), upsample_kernel_sizes=(16, 16),
+                subbands=4, gen_istft_n_fft=16, gen_istft_hop_size=4,
+            ),
+        )
+        mb_model = SynthesizerTrn(
+            n_vocab=len(symbols), spec_channels=mb_cfg.posterior_channels,
+            segment_frames=mb_cfg.segment_frames, cfg=mb_cfg.model,
+        )
+        mb_shapes = jax.eval_shape(
+            lambda: mb_model.init(
+                init_rngs, x, x_lengths,
+                noise_scale=0.667, noise_scale_w=0.8, length_scale=1.0,
+                max_frames=MAX_FRAMES, method=SynthesizerTrn.infer,
+            )
+        )
+        mb_vars = jax.tree.map(
+            lambda s: jnp.asarray(
+                0.02 * host_rng.standard_normal(s.shape).astype("float32")
+            )
+            if jnp.issubdtype(s.dtype, jnp.floating)
+            else jnp.zeros(s.shape, s.dtype),
+            mb_shapes,
+        )
+
+        @jax.jit
+        def mb_infer(variables, x, x_lengths, key, carry):
+            key = jax.random.fold_in(key, carry)
+            audio, *_rest, y_lengths = mb_model.apply(
+                variables, x, x_lengths,
+                noise_scale=0.667, noise_scale_w=0.8, length_scale=1.0,
+                max_frames=MAX_FRAMES, method=SynthesizerTrn.infer,
+                rngs={"noise": key},
+            )
+            csum = jnp.sum(jnp.abs(audio))
+            return csum, csum.astype(jnp.int32) & 0x3FF
+
+        carry = jnp.zeros((), jnp.int32)
+        csum, carry = mb_infer(mb_vars, x, x_lengths, base, carry)
+        float(np.asarray(csum))
+        n_mb = 10
+        t0 = time.perf_counter()
+        for _ in range(n_mb):
+            csum, carry = mb_infer(mb_vars, x, x_lengths, base, carry)
+        float(np.asarray(csum))
+        mb_dt = time.perf_counter() - t0
+        mb_rtf = n_mb * audio_seconds / mb_dt
+        print(
+            f"mb_istft decoder: {mb_dt/n_mb*1e3:.1f} ms/call pipelined "
+            f"({mb_rtf:.0f}x RT per chip)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"mb_istft bench skipped: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -197,6 +262,7 @@ def main():
                 "per_call_ms": round(lat * 1e3, 1),
                 "mfu": round(mfu, 4) if mfu is not None else None,
                 "batched_rtf_b8": round(batched_rtf, 2),
+                "mb_istft_rtf": round(mb_rtf, 2) if mb_rtf else None,
             }
         )
     )

@@ -50,6 +50,10 @@ def main():
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--workdir", default="/tmp/tts_smoke")
     p.add_argument("--step-order", default="ddp", choices=["ddp", "lightning"])
+    p.add_argument("--decoder", default="hifigan", choices=["hifigan", "mb_istft"],
+                   help="mb_istft: the lightweight multi-band iSTFT decoder "
+                        "(ops/mb_istft.py) — conv trunk (4,4), iSTFT x4, "
+                        "PQMF x4 = hop 256")
     args = p.parse_args()
 
     import jax
@@ -67,6 +71,15 @@ def main():
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, step_order=args.step_order)
     )
+    if args.decoder == "mb_istft":
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, decoder_type="mb_istft",
+                upsample_rates=(4, 4), upsample_kernel_sizes=(16, 16),
+                subbands=4, gen_istft_n_fft=16, gen_istft_hop_size=4,
+            ),
+        )
     root = make_corpus(os.path.join(args.workdir, "data"))
     ds = TextAudioDataset.from_ljspeech(root, cfg.audio, cfg.data, use_mel=True)
     print(f"dataset: {len(ds)} utterances, lengths {min(ds.lengths)}-{max(ds.lengths)}")
@@ -104,11 +117,14 @@ def main():
           f"({'PASS' if last < 0.8 * first else 'FAIL'})")
 
     # save the trained generator so __graft_entry__.entry() can run the
-    # driver's forward probe on real (trained) weights
+    # driver's forward probe on real (trained) weights; non-default decoders
+    # save under a suffixed name so they can't shadow the entry's
+    # (hifigan-shaped) parameter structure
     from flax import serialization
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = os.path.join(repo, "artifacts", "entry_params.msgpack")
+    suffix = "" if args.decoder == "hifigan" else f"_{args.decoder}"
+    out = os.path.join(repo, "artifacts", f"entry_params{suffix}.msgpack")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(trainer.state.params_g)))

@@ -76,6 +76,17 @@ class VITS2ModelConfig:
     # TPU perf: space-to-depth packing of the HiFi-GAN tail (exact-equivalent
     # outputs; see ops/packed_conv.py)
     pack_narrow_convs: bool = False
+    # decoder family: "hifigan" (reference parity) or "mb_istft" (beyond
+    # parity: the MB-iSTFT-VITS lightweight decoder, ops/mb_istft.py — the
+    # conv trunk stops at prod(upsample_rates) and an iSTFT head + fixed
+    # PQMF bank synthesize the remaining istft_hop * subbands upsampling;
+    # prod(upsample_rates) * gen_istft_hop_size * subbands must equal the
+    # audio hop_length, e.g. 4*4 * 4 * 4 = 256). With mb_istft, set
+    # upsample_rates: [4, 4] and upsample_kernel_sizes: [16, 16].
+    decoder_type: str = "hifigan"
+    subbands: int = 4
+    gen_istft_n_fft: int = 16
+    gen_istft_hop_size: int = 4
 
     segment_size: int = 8192  # in samples
 

@@ -552,16 +552,32 @@ class SynthesizerTrn(nn.Module):
             c.p_dropout,
             gin_channels=enc_gin,
         )
-        self.dec = Generator(
-            resblock=c.resblock,
-            resblock_kernel_sizes=tuple(c.resblock_kernel_sizes),
-            resblock_dilation_sizes=tuple(map(tuple, c.resblock_dilation_sizes)),
-            upsample_rates=tuple(c.upsample_rates),
-            upsample_initial_channel=c.upsample_initial_channel,
-            upsample_kernel_sizes=tuple(c.upsample_kernel_sizes),
-            gin_channels=c.gin_channels,
-            pack_narrow=getattr(c, "pack_narrow_convs", False),
-        )
+        if getattr(c, "decoder_type", "hifigan") == "mb_istft":
+            from torch_tts_tpu.ops.mb_istft import MultiBandISTFTGenerator
+
+            self.dec = MultiBandISTFTGenerator(
+                resblock=c.resblock,
+                resblock_kernel_sizes=tuple(c.resblock_kernel_sizes),
+                resblock_dilation_sizes=tuple(map(tuple, c.resblock_dilation_sizes)),
+                upsample_rates=tuple(c.upsample_rates),
+                upsample_initial_channel=c.upsample_initial_channel,
+                upsample_kernel_sizes=tuple(c.upsample_kernel_sizes),
+                subbands=c.subbands,
+                istft_n_fft=c.gen_istft_n_fft,
+                istft_hop=c.gen_istft_hop_size,
+                gin_channels=c.gin_channels,
+            )
+        else:
+            self.dec = Generator(
+                resblock=c.resblock,
+                resblock_kernel_sizes=tuple(c.resblock_kernel_sizes),
+                resblock_dilation_sizes=tuple(map(tuple, c.resblock_dilation_sizes)),
+                upsample_rates=tuple(c.upsample_rates),
+                upsample_initial_channel=c.upsample_initial_channel,
+                upsample_kernel_sizes=tuple(c.upsample_kernel_sizes),
+                gin_channels=c.gin_channels,
+                pack_narrow=getattr(c, "pack_narrow_convs", False),
+            )
         self.enc_q = PosteriorEncoder(
             c.inter_channels, c.hidden_channels, 5, 1, 16, gin_channels=c.gin_channels
         )
