@@ -101,9 +101,19 @@ def main():
             method=SynthesizerTrn.infer, rngs={"noise": jax.random.PRNGKey(7)},
         )[0]
         infer_ms = _chain(infer_fn, x, xl) * 1e3
+
+        # streaming time-to-first-audio: the non-decoder prefix (enc+dur+
+        # flow over the full sequence, = infer - decoder) plus ONE chunk
+        # window decode (infer/streaming.py, 128-frame chunk + 2x32 context)
+        zwin = z[:, : 128 + 64]
+        win_ms = _chain(dec_fn, zwin) * 1e3
+        ttfa_ms = (infer_ms - dec_ms) + win_ms
         results[name] = {"decoder_ms": round(dec_ms, 2),
-                         "infer_ms": round(infer_ms, 2)}
-        print(f"{name}: decoder {dec_ms:.2f} ms, full infer {infer_ms:.2f} ms",
+                         "infer_ms": round(infer_ms, 2),
+                         "stream_first_chunk_ms": round(win_ms, 2),
+                         "ttfa_ms": round(ttfa_ms, 2)}
+        print(f"{name}: decoder {dec_ms:.2f} ms, full infer {infer_ms:.2f} ms, "
+              f"streaming TTFA ~{ttfa_ms:.2f} ms (first 1.49 s of audio)",
               file=sys.stderr)
 
     h, m = results["hifigan"], results["mb_istft"]

@@ -1,0 +1,79 @@
+"""Streaming chunked decode (infer/streaming.py): concatenated chunks must
+equal the monolithic decode EXACTLY (the decoder is convolution-local, and
+the chunk windows reproduce the same zero padding the monolithic SAME-padded
+convs see at sequence edges) — for both decoder families, for uneven tail
+chunks, and for speaker-conditioned decoding."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from test_vits2_train_step import tiny_config
+from torch_tts_tpu.infer.streaming import StreamingDecoder
+from torch_tts_tpu.models.vits2 import SynthesizerTrn
+
+
+def _build(cfg, rng, n_vocab=30):
+    model = SynthesizerTrn(
+        n_vocab=n_vocab, spec_channels=cfg.posterior_channels,
+        segment_frames=cfg.segment_frames, cfg=cfg.model,
+    )
+    B, T_x, T_y = 1, 9, 24
+    x = jnp.asarray(rng.integers(1, n_vocab, (B, T_x)), jnp.int32)
+    xl = jnp.full((B,), T_x, jnp.int32)
+    spec = jnp.asarray(
+        rng.standard_normal((B, T_y, cfg.posterior_channels)).astype(np.float32)
+    )
+    sl = jnp.full((B,), T_y, jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    sid = jnp.zeros((B,), jnp.int32) if cfg.model.n_speakers > 1 else None
+    variables = model.init(rngs, x, xl, spec, sl, sid=sid)
+    return model, variables
+
+
+@pytest.mark.parametrize("decoder", ["hifigan", "mb_istft"])
+@pytest.mark.parametrize("T", [96, 100])  # multiple of chunk and uneven tail
+def test_streaming_matches_monolithic(rng, decoder, T):
+    cfg = tiny_config()
+    if decoder == "mb_istft":
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, decoder_type="mb_istft",
+                upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+                subbands=4, gen_istft_n_fft=16, gen_istft_hop_size=4,
+            ),
+        )
+    model, variables = _build(cfg, rng)
+    z = jnp.asarray(
+        rng.standard_normal((1, T, cfg.model.inter_channels)).astype(np.float32)
+    )
+    full = model.apply(variables, z, method=lambda m, zz: m.dec(zz))
+
+    sd = StreamingDecoder(model, variables, chunk_frames=32, context_frames=16)
+    pieces = list(sd.stream(z))
+    assert len(pieces) == -(-T // 32)
+    out = jnp.concatenate(pieces, axis=1)
+    assert out.shape == full.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(full), atol=2e-5,
+        err_msg=f"{decoder}: chunked != monolithic",
+    )
+
+
+def test_streaming_speaker_conditioned(rng):
+    cfg = tiny_config(n_speakers=4, gin_channels=8)
+    model, variables = _build(cfg, rng)
+    z = jnp.asarray(
+        rng.standard_normal((1, 64, cfg.model.inter_channels)).astype(np.float32)
+    )
+    g = jnp.asarray(rng.standard_normal((1, 1, 8)).astype(np.float32))
+    full = model.apply(variables, z, g, method=lambda m, zz, gg: m.dec(zz, g=gg))
+    sd = StreamingDecoder(model, variables, chunk_frames=16, context_frames=16)
+    out = sd.decode(z, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=2e-5)
