@@ -77,3 +77,36 @@ def test_streaming_speaker_conditioned(rng):
     sd = StreamingDecoder(model, variables, chunk_frames=16, context_frames=16)
     out = sd.decode(z, g)
     np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=2e-5)
+
+
+@pytest.mark.parametrize("decoder", ["hifigan", "mb_istft"])
+def test_streaming_end_to_end_matches_infer(rng, decoder):
+    """infer_latents + StreamingDecoder reproduces SynthesizerTrn.infer's
+    audio bit-for-bit (masked decode included: the y_mask window rides along
+    with the latent window)."""
+    cfg = tiny_config()
+    if decoder == "mb_istft":
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, decoder_type="mb_istft",
+                upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+                subbands=4, gen_istft_n_fft=16, gen_istft_hop_size=4,
+            ),
+        )
+    model, variables = _build(cfg, rng)
+    x = jnp.asarray(rng.integers(1, 30, (1, 9)), jnp.int32)
+    xl = jnp.full((1,), 9, jnp.int32)
+    kw = dict(noise_scale=0.667, noise_scale_w=0.8, length_scale=1.0,
+              max_frames=96)
+    noise = {"noise": jax.random.PRNGKey(5)}
+    audio, _attn, _ym, _aux, y_len = model.apply(
+        variables, x, xl, method=SynthesizerTrn.infer, rngs=noise, **kw
+    )
+    z, g, y_mask, y_len2 = model.apply(
+        variables, x, xl, method=SynthesizerTrn.infer_latents, rngs=noise, **kw
+    )
+    assert int(y_len[0]) == int(y_len2[0])
+    sd = StreamingDecoder(model, variables, chunk_frames=32, context_frames=16)
+    out = sd.decode(z, g, y_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(audio), atol=2e-5)

@@ -52,37 +52,44 @@ class StreamingDecoder:
         self.ctx = context_frames
 
         @jax.jit
-        def _decode_window(variables, zwin, g):
+        def _decode_window(variables, zwin, mwin, g):
             return model.apply(
-                variables, zwin, g,
-                method=lambda m, zz, gg: m.dec(zz, g=gg),
+                variables, zwin, mwin, g,
+                method=lambda m, zz, mm, gg: m.dec(zz, g=gg, x_mask=mm),
             )
 
         @jax.jit
-        def _decode_window_nog(variables, zwin):
+        def _decode_window_nog(variables, zwin, mwin):
             return model.apply(
-                variables, zwin, method=lambda m, zz: m.dec(zz)
+                variables, zwin, mwin,
+                method=lambda m, zz, mm: m.dec(zz, x_mask=mm),
             )
 
         self._decode = _decode_window
         self._decode_nog = _decode_window_nog
 
-    def stream(self, z: jax.Array, g: Optional[jax.Array] = None
-               ) -> Iterator[jax.Array]:
+    def stream(self, z: jax.Array, g: Optional[jax.Array] = None,
+               x_mask: Optional[jax.Array] = None) -> Iterator[jax.Array]:
         """z: [B, T, C] latents -> yields [B, chunk*factor, 1] audio chunks.
 
         Concatenated chunks (trimmed to T*factor total samples) equal the
-        monolithic `model.dec(z)` exactly. The final chunk is shorter when
+        monolithic `model.dec(z, x_mask=x_mask)` exactly — pass the y_mask
+        from `infer_latents` to reproduce `SynthesizerTrn.infer`'s masked
+        decode bit-for-bit (masking happens per layer, so the mask window
+        rides along with the latent window). The final chunk is shorter when
         T is not a multiple of chunk_frames.
         """
         B, T, C = z.shape
+        if x_mask is None:
+            x_mask = jnp.ones((B, T, 1), z.dtype)
         ck, ctx = self.chunk, self.ctx
         W = ck + 2 * ctx
         if T <= W:
             # utterance no longer than one window: monolithic is both exact
             # and cheapest
-            yield (self._decode(self.variables, z, g) if g is not None
-                   else self._decode_nog(self.variables, z))
+            yield (self._decode(self.variables, z, x_mask, g)
+                   if g is not None
+                   else self._decode_nog(self.variables, z, x_mask))
             return
         n_chunks = -(-T // ck)
 
@@ -96,8 +103,10 @@ class StreamingDecoder:
         for i in range(n_chunks):
             start = min(max(i * ck - ctx, 0), T - W)
             zwin = jax.lax.dynamic_slice_in_dim(z, start, W, 1)
-            audio = (self._decode(self.variables, zwin, g) if g is not None
-                     else self._decode_nog(self.variables, zwin))
+            mwin = jax.lax.dynamic_slice_in_dim(x_mask, start, W, 1)
+            audio = (self._decode(self.variables, zwin, mwin, g)
+                     if g is not None
+                     else self._decode_nog(self.variables, zwin, mwin))
             if factor is None:
                 assert audio.shape[1] % W == 0
                 factor = audio.shape[1] // W
@@ -105,6 +114,7 @@ class StreamingDecoder:
             n_keep = min(ck, T - i * ck) * factor
             yield audio[:, lo : lo + n_keep]
 
-    def decode(self, z: jax.Array, g: Optional[jax.Array] = None) -> jax.Array:
+    def decode(self, z: jax.Array, g: Optional[jax.Array] = None,
+               x_mask: Optional[jax.Array] = None) -> jax.Array:
         """Convenience: run the full stream and concatenate."""
-        return jnp.concatenate(list(self.stream(z, g)), axis=1)
+        return jnp.concatenate(list(self.stream(z, g, x_mask)), axis=1)

@@ -718,6 +718,48 @@ class SynthesizerTrn(nn.Module):
         o = self.dec(z * y_mask, g=g, x_mask=y_mask)
         return o, attn, y_mask, (z, z_p, m_p_e, logs_p_e), y_lengths
 
+    def infer_latents(
+        self,
+        x,
+        x_lengths,
+        sid=None,
+        noise_scale: float = 1.0,
+        length_scale: float = 1.0,
+        noise_scale_w: float = 1.0,
+        max_frames: int = 1000,
+        deterministic: bool = True,
+    ):
+        """`infer` up to (but not including) the decoder — for streaming
+        synthesis (infer/streaming.py): the cheap text->latent prefix runs
+        once, then the decoder streams chunk by chunk. Returns
+        (z*y_mask [B, max_frames, C], g or None, y_mask, y_lengths);
+        `dec(z*y_mask, g=g)` reproduces `infer`'s audio exactly.
+        No reference counterpart (the reference is monolithic,
+        vits2/inference.py:50-60)."""
+        c = self.cfg
+        g = self._speaker(sid)
+        hx, m_p, logs_p, x_mask = self.enc_p(x, x_lengths, g=g, deterministic=deterministic)
+        if c.use_sdp:
+            logw = self.dp(
+                hx, x_mask, g=g, reverse=True, noise_scale=noise_scale_w,
+                deterministic=deterministic,
+            )
+        else:
+            logw = self.dp(hx, x_mask, g=g, deterministic=deterministic)
+        w = jnp.exp(logw) * x_mask * length_scale
+        w_ceil = jnp.ceil(w)
+        y_lengths = jnp.maximum(jnp.sum(w_ceil, (1, 2)), 1.0).astype(jnp.int32)
+        y_lengths = jnp.minimum(y_lengths, max_frames)
+        y_mask = sequence_mask(y_lengths, max_frames).astype(x_mask.dtype)[..., None]
+        attn = generate_path(w_ceil[..., 0], max_frames)
+        attn = attn * (y_mask * jnp.swapaxes(x_mask, 1, 2))
+        m_p_e = jnp.einsum("btx,bxd->btd", attn, m_p)
+        logs_p_e = jnp.einsum("btx,bxd->btd", attn, logs_p)
+        eps = jax.random.normal(self.make_rng("noise"), m_p_e.shape, m_p_e.dtype)
+        z_p = m_p_e + eps * jnp.exp(logs_p_e) * noise_scale
+        z = self.flow(z_p, y_mask, g=g, reverse=True, deterministic=deterministic)
+        return z * y_mask, g, y_mask, y_lengths
+
     def voice_conversion(self, y, y_lengths, sid_src, sid_tgt, deterministic: bool = True):
         """Flow round-trip speaker swap (models.py:1328-1336)."""
         assert self.cfg.n_speakers > 1, "voice conversion needs a multi-speaker model"
