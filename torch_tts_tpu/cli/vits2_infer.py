@@ -32,6 +32,11 @@ def main():
     p.add_argument("--length-scale", type=float, default=1.0)
     p.add_argument("--max-frames", type=int, default=1000)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--stream-chunk", type=int, default=0, metavar="FRAMES",
+                   help="stream the decoder in FRAMES-sized chunks "
+                        "(infer/streaming.py): audio is produced "
+                        "incrementally (per-chunk timing printed) and is "
+                        "bit-identical to the monolithic decode")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -98,13 +103,38 @@ def main():
     )
     params = loaded["params_g"]
 
-    audio, attn, y_mask, _aux, y_lengths = model.apply(
-        {"params": params}, x, x_lengths, sid=sid,
-        noise_scale=args.noise_scale, noise_scale_w=args.noise_scale_w,
-        length_scale=args.length_scale, max_frames=args.max_frames,
-        method=SynthesizerTrn.infer,
-        rngs={"noise": jax.random.PRNGKey(args.seed)},
-    )
+    if args.stream_chunk > 0:
+        import time
+
+        from torch_tts_tpu.infer.streaming import StreamingDecoder
+
+        t0 = time.perf_counter()
+        z, g, y_mask, y_lengths = model.apply(
+            {"params": params}, x, x_lengths, sid=sid,
+            noise_scale=args.noise_scale, noise_scale_w=args.noise_scale_w,
+            length_scale=args.length_scale, max_frames=args.max_frames,
+            method=SynthesizerTrn.infer_latents,
+            rngs={"noise": jax.random.PRNGKey(args.seed)},
+        )
+        sd = StreamingDecoder(
+            model, {"params": params}, chunk_frames=args.stream_chunk
+        )
+        pieces = []
+        for i, piece in enumerate(sd.stream(z, g, y_mask)):
+            piece.block_until_ready()
+            pieces.append(np.asarray(piece))
+            secs = piece.shape[1] / cfg.audio.sampling_rate
+            print(f"chunk {i}: +{secs:.2f}s audio at "
+                  f"t={time.perf_counter()-t0:.3f}s")
+        audio = np.concatenate(pieces, axis=1)
+    else:
+        audio, attn, y_mask, _aux, y_lengths = model.apply(
+            {"params": params}, x, x_lengths, sid=sid,
+            noise_scale=args.noise_scale, noise_scale_w=args.noise_scale_w,
+            length_scale=args.length_scale, max_frames=args.max_frames,
+            method=SynthesizerTrn.infer,
+            rngs={"noise": jax.random.PRNGKey(args.seed)},
+        )
     n = int(np.asarray(y_lengths)[0]) * cfg.audio.hop_length
     wav = np.asarray(audio)[0, :n, 0]
     wav16 = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
