@@ -68,8 +68,10 @@ def test_vits2_trainer_e2e(tmp_path, rng):
     assert len(ds) == 8
 
     run_dir = str(tmp_path / "run")
+    # eval_dataset is set so train() crosses eval_interval (=4) with a real
+    # evaluate() call — regression for the params-pytree jnp.asarray crash
     trainer = VITS2Trainer(
-        cfg, run_dir, ds, eval_dataset=None, use_mesh=False,
+        cfg, run_dir, ds, eval_dataset=ds, use_mesh=False,
         bucket_boundaries=[4, 40], pad_text_to=32, eval_max_frames=16,
     )
     trainer.train(epochs=1)

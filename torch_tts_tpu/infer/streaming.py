@@ -8,15 +8,17 @@ neighborhood), so the waveform can be produced chunk by chunk and the first
 audio returned after decoding only `chunk_frames` of latents instead of the
 full utterance.
 
-Exactness: each chunk is decoded from a fixed window
-[start - context, start + chunk + context) gathered from a ZERO-padded
-latent sequence, then trimmed to the center. Because the monolithic decoder
-also zero-pads at sequence edges (SAME conv padding), every trimmed chunk is
-bit-identical to the corresponding slice of the monolithic decode once
-`context_frames` covers the decoder's receptive-field half-width —
-asserted by tests/test_streaming.py for both decoder families. The fixed
-window shape means ONE compiled program regardless of utterance length or
-chunk index.
+Exactness: each chunk is decoded from a fixed-size window of the latent
+sequence that is CLAMPED/shifted inward at the edges (never zero-padded:
+conv biases make processed zero frames nonzero, so a zero-pad halo would
+corrupt the trim — see the in-code comment at the window computation), then
+trimmed to the chunk's own frames. With `context_frames` covering the
+decoder's receptive-field half-width, every trimmed chunk is numerically
+identical to the corresponding slice of the monolithic decode (verified to
+atol=2e-5 by tests/test_streaming.py for both decoder families; float
+reassociation across different window offsets makes exact bitwise equality
+not guaranteed). The fixed window shape means ONE compiled program
+regardless of utterance length or chunk index.
 
 Latency model on TPU: text encoder + duration + flow run once on the full
 sequence (cheap, ~25% of inference), then the decoder (the dominant ~75%)

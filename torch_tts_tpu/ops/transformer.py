@@ -10,9 +10,11 @@ Equivalents of /root/reference/vits2/attentions.py in channels-last layout:
 - causal Decoder and the FFT block used by the `fft` transformer flow.
 
 torch's `proximal_init` (copying q weights into k at init,
-attentions.py:231-234) is exact: when enabled, conv_q and conv_k draw their
-init values from one shared PRNG key, so they start identical (the torch
-semantics — q keeps a valid kaiming-uniform init, k copies it). Checkpoint
+attentions.py:231-234): the q==k copy semantics are exact — when enabled,
+conv_q and conv_k draw their init values from one shared PRNG key, so they
+start identical. The underlying init *distribution* still differs for fresh
+training: this code draws torch-default-uniform while the reference
+xavier_uniform-initializes conv_q/k/v (attentions.py:227-229). Checkpoint
 loading is unaffected either way (the converter overwrites all params).
 """
 

@@ -11,6 +11,7 @@ on optional packages degrade explicitly:
 
 from __future__ import annotations
 
+import logging
 import re
 import unicodedata
 
@@ -67,6 +68,9 @@ def convert_to_ascii(text: str) -> str:
         return "".join(c for c in decomposed if ord(c) < 128)
 
 
+_warned_g2p_fallback = False
+
+
 def basic_cleaners(text: str) -> str:
     """Lowercase + collapse whitespace, no transliteration."""
     return collapse_whitespace(lowercase(text))
@@ -103,6 +107,16 @@ def _phonemize(text: str, **kwargs) -> str:
             ) from e
         from torch_tts_tpu.text.g2p import phonemize_en
 
+        global _warned_g2p_fallback
+        if not _warned_g2p_fallback:
+            _warned_g2p_fallback = True
+            logging.getLogger(__name__).warning(
+                "phonemizer (espeak) is not installed; falling back to the "
+                "built-in approximate G2P (text/g2p.py). Phoneme sequences "
+                "will NOT be byte-compatible with espeak-phonemized "
+                "checkpoints/filelists. Set TTS_REQUIRE_ESPEAK=1 to error "
+                "instead."
+            )
         return phonemize_en(
             text,
             preserve_punctuation=kwargs.get("preserve_punctuation", False),

@@ -210,11 +210,14 @@ class VITS2Trainer:
                 self.rng, sub = jax.random.split(self.rng)
                 new_state, metrics = self.step_fn(self.state, batch, sub)
                 # failure detection the reference lacks (SURVEY.md §5): the
-                # jitted step itself drops non-finite updates (device-side
-                # jnp.where select in vits2_train._skip_if_nonfinite), so no
-                # per-step host sync is needed — dispatch stays pipelined
-                # over the TPU tunnel. The skip count accumulates lazily on
-                # device and is only fetched at log_interval.
+                # jitted step itself drops non-finite updates
+                # (vits2_train._guarded_update zeroes non-finite grads and
+                # scales the optimizer updates by the finite flag — NOT a
+                # full-tree jnp.where select, which defeats buffer donation
+                # at +57% step time), so no per-step host sync is needed —
+                # dispatch stays pipelined over the TPU tunnel. The skip
+                # count accumulates lazily on device and is only fetched at
+                # log_interval.
                 self.state = new_state
                 nonfinite_acc = nonfinite_acc + metrics["nonfinite"]
                 step += 1
@@ -274,8 +277,10 @@ class VITS2Trainer:
         # the generalization signal the reference's evaluate() lacks
         if self._eval_step is None:
             self._eval_step = jax.jit(make_eval_step(self.cfg, self.model))
+        # params is a nested flax pytree — pass it whole (jit ingests numpy
+        # leaves); jnp.asarray on the top-level dict values would raise
         eval_metrics = self._eval_step(
-            {k: jnp.asarray(v) for k, v in params.items()},
+            params,
             {k: jnp.asarray(v) for k, v in sample.items()},
             jax.random.PRNGKey(0),
         )

@@ -42,7 +42,32 @@ def summarize(
     for k, v in (images or {}).items():
         writer.add_image(k, np.asarray(v), global_step, dataformats="HWC")
     for k, v in (audios or {}).items():
-        writer.add_audio(k, np.asarray(v), global_step, audio_sampling_rate)
+        _add_audio(writer, k, np.asarray(v), global_step, audio_sampling_rate)
+
+
+def _add_audio(writer, tag: str, wav: np.ndarray, global_step: int,
+               sample_rate: int) -> None:
+    """TB audio summary without soundfile (absent in this image):
+    scipy-encoded 16-bit WAV wrapped in the Summary proto directly
+    (tensorboardX's add_audio path imports soundfile for the encode)."""
+    import io
+
+    from scipy.io import wavfile
+    from tensorboardX.proto.summary_pb2 import Summary
+
+    wav = np.clip(np.asarray(wav, np.float32).reshape(-1), -1.0, 1.0)
+    buf = io.BytesIO()
+    wavfile.write(buf, sample_rate, (wav * 32767.0).astype(np.int16))
+    audio = Summary.Audio(
+        sample_rate=sample_rate,
+        num_channels=1,
+        length_frames=wav.shape[0],
+        encoded_audio_string=buf.getvalue(),
+        content_type="audio/wav",
+    )
+    writer._get_file_writer().add_summary(
+        Summary(value=[Summary.Value(tag=tag, audio=audio)]), global_step
+    )
 
 
 def plot_spectrogram_to_numpy(spectrogram: np.ndarray) -> np.ndarray:
