@@ -275,3 +275,158 @@ def test_eval_step_metrics(rng):
     s2, _ = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(1))
     m3 = eval_jit(s2.params_g, batch, jax.random.PRNGKey(0))
     assert float(m3["eval/loss_mel"]) != float(m1["eval/loss_mel"])
+
+
+# ---------------------------------------------------------------------------
+# Gradient accumulation (reference accumulate_grad, vits2/cli.py:255-262,338-356)
+# ---------------------------------------------------------------------------
+
+
+def _tree_max_diff(a, b):
+    return max(
+        float(jnp.max(jnp.abs(x - y)))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def test_grad_accum_k2_matches_mean_of_single_steps(rng):
+    """grad_accum=2 == the reference's accumulate_grad: k micro-batch grads
+    at frozen params are averaged into one real update (cli.py's
+    manual_backward(loss * 1/k) summed over k micro-batches). With a plain
+    SGD inner optimizer the algebra is exactly checkable black-box:
+    the post-window params must equal the MEAN of the two single-batch
+    single-step results taken from the same initial state (update linear in
+    the gradient). Mid-window micro-steps must leave every parameter
+    untouched. Uses the lightning ordering, where all three nets' grads are
+    computed at frozen params (the ddp ordering lets G see the updated D
+    within a step, which has no frozen-params accumulation analogue)."""
+    import dataclasses
+
+    import optax
+
+    from torch_tts_tpu.train.vits2_train import make_optimizer
+
+    LR = 0.05
+    cfg = tiny_config()
+    base_train = dataclasses.replace(cfg.train, step_order="lightning")
+    cfg1 = dataclasses.replace(cfg, train=base_train)
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(base_train, grad_accum=2)
+    )
+
+    model = SynthesizerTrn(
+        n_vocab=30, spec_channels=cfg.posterior_channels,
+        segment_frames=cfg.segment_frames, cfg=cfg.model,
+    )
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    b1 = make_batch(rng, cfg)
+    b2 = make_batch(rng, cfg)  # second draw: a different micro-batch
+    init_key = jax.random.PRNGKey(7)
+    k0, k1 = jax.random.PRNGKey(100), jax.random.PRNGKey(101)
+
+    # accumulating run: two micro-steps
+    tx2 = make_optimizer(cfg2, inner=optax.sgd(LR))
+    state2, tx2 = create_train_state(
+        cfg2, model, mpd, sample_batch=b1, rng=init_key, tx=tx2
+    )
+    step2 = jax.jit(make_train_step(cfg2, model, mpd, tx2))
+    mid, m_mid = step2(state2, b1, k0)
+    assert _tree_max_diff(mid.params_g, state2.params_g) == 0.0
+    assert _tree_max_diff(mid.params_d, state2.params_d) == 0.0
+    assert int(mid.step) == 1  # micro-steps still count (rng/mas schedules)
+    acc, _ = step2(mid, b2, k1)
+    assert _tree_max_diff(acc.params_g, state2.params_g) > 0.0
+
+    # oracle: two independent single steps from the same initial state
+    tx1 = make_optimizer(cfg1, inner=optax.sgd(LR))
+    state1, tx1 = create_train_state(
+        cfg1, model, mpd, sample_batch=b1, rng=init_key, tx=tx1
+    )
+    assert _tree_max_diff(state1.params_g, state2.params_g) == 0.0
+    step1 = jax.jit(make_train_step(cfg1, model, mpd, tx1))
+    uA, _ = step1(state1, b1, k0)
+    # micro-step 2 of the accumulating run sees step==1 (rng fold + mas
+    # noise schedule) — mirror it
+    state1b = state1.replace(step=jnp.asarray(1, jnp.int32))
+    uB, _ = step1(state1b, b2, k1)
+
+    for name in ("params_g", "params_d"):
+        expected = jax.tree.map(
+            lambda a, b: (a + b) / 2.0, getattr(uA, name), getattr(uB, name)
+        )
+        got = getattr(acc, name)
+        diff = _tree_max_diff(got, expected)
+        assert diff < 1e-6, f"{name}: max diff {diff}"
+
+
+def test_grad_accum_sharded_matches_unsharded(rng):
+    """The accumulating step under an 8-device data mesh produces the same
+    parameters as unsharded (GSPMD only changes layout, not math). SGD inner
+    optimizer, as in test_sharded_equivalence: Adam's first step is
+    ~lr*sign(grad), which amplifies reduction-order noise on near-zero
+    gradient entries past any tight tolerance."""
+    import dataclasses
+
+    import optax
+
+    from torch_tts_tpu.train.vits2_train import make_optimizer, make_train_step
+
+    assert len(jax.devices()) == 8
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, step_order="lightning", grad_accum=2
+        )
+    )
+    model, mpd, dd, batch, state, _ = build_all(cfg, rng)
+    tx = make_optimizer(cfg, inner=optax.sgd(0.1))
+    state = state.replace(
+        opt_g=tx.init(state.params_g), opt_d=tx.init(state.params_d)
+    )
+    step_jit = jax.jit(make_train_step(cfg, model, mpd, tx))
+    k0, k1 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+
+    s_ref, _ = step_jit(state, batch, k0)
+    s_ref, _ = step_jit(s_ref, batch, k1)
+
+    mesh = make_mesh()
+    s_sh = replicate(state, mesh)
+    b_sh = shard_batch(batch, mesh)
+    s_sh, _ = step_jit(s_sh, b_sh, k0)
+    s_sh, _ = step_jit(s_sh, b_sh, k1)
+
+    assert _tree_max_diff(s_sh.params_g, s_ref.params_g) < 1e-5
+    assert _tree_max_diff(s_sh.params_d, s_ref.params_d) < 1e-5
+
+
+def test_grad_accum_state_checkpoint_roundtrip(rng, tmp_path):
+    """MultiSteps optimizer state (incl. the mid-window grad accumulator)
+    survives a checkpoint save/restore."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, step_order="lightning", grad_accum=2
+        )
+    )
+    model, mpd, dd, batch, state, step_fn = build_all(cfg, rng)
+    mid, _ = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(0))
+    d = str(tmp_path)
+    ckpt.save_checkpoint(d, 1, mid, keep=3)
+    restored = ckpt.restore_checkpoint(ckpt.latest_checkpoint(d), state)
+    assert _tree_max_diff(restored.opt_g, mid.opt_g) == 0.0
+
+
+def test_reference_accumulate_grad_config_key(tmp_path):
+    """The reference Lightning YAML's model.config.accumulate_grad maps to
+    train.grad_accum (vits2/cli.py:190)."""
+    from torch_tts_tpu.core.config import load_vits2_config
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "model:\n  config:\n    hidden_channels: 192\n    accumulate_grad: 4\n"
+        "data:\n  config: {}\n"
+    )
+    cfg = load_vits2_config(str(p))
+    assert cfg.train.grad_accum == 4

@@ -149,6 +149,11 @@ class VITS2TrainConfig:
     log_interval: int = 200
     eval_interval: int = 1000
     keep_ckpts: int = 3
+    # gradient accumulation over k micro-batches per real optimizer update
+    # (reference `accumulate_grad`, vits2/cli.py:190,255-262,338-356): grads
+    # are averaged across the window at frozen params via optax.MultiSteps
+    # wrapped around every optimizer (G / D / duration disc) — see
+    # vits2_train.make_optimizer. Effective batch = batch_size * grad_accum.
     grad_accum: int = 1
 
     def __post_init__(self):
@@ -211,6 +216,15 @@ def load_vits2_config(path: str) -> VITS2Config:
         model_d = raw["model"].get("config", raw["model"])
         cfg = dataclasses.replace(cfg, model=_apply(cfg.model, model_d))
         cfg = dataclasses.replace(cfg, audio=_apply(cfg.audio, model_d))
+        # the reference's Lightning ModelConfig carries training knobs too —
+        # map the ones our TrainConfig owns (cli.py:190 accumulate_grad)
+        if "accumulate_grad" in model_d:
+            cfg = dataclasses.replace(
+                cfg,
+                train=dataclasses.replace(
+                    cfg.train, grad_accum=int(model_d["accumulate_grad"])
+                ),
+            )
     if "data" in raw and isinstance(raw["data"], dict):
         data_d = raw["data"].get("config", raw["data"])
         cfg = dataclasses.replace(cfg, data=_apply(cfg.data, data_d))

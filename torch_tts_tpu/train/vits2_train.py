@@ -57,21 +57,41 @@ def global_norm(tree) -> jax.Array:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
-def make_optimizer(cfg: VITS2Config, steps_per_epoch: int = 1000):
-    """AdamW + per-epoch exponential decay (train.py:197-206, 242-247)."""
-    lr = optax.exponential_decay(
-        init_value=cfg.train.learning_rate,
-        transition_steps=steps_per_epoch,
-        decay_rate=cfg.train.lr_decay,
-        staircase=True,
-    )
-    return optax.adamw(
-        lr,
-        b1=cfg.train.betas[0],
-        b2=cfg.train.betas[1],
-        eps=cfg.train.eps,
-        weight_decay=0.01,
-    )
+def make_optimizer(cfg: VITS2Config, steps_per_epoch: int = 1000, inner=None):
+    """AdamW + per-epoch exponential decay (train.py:197-206, 242-247).
+
+    cfg.train.grad_accum > 1 wraps the optimizer in optax.MultiSteps: k
+    micro-batch gradients are averaged before one real update — exactly the
+    reference's `accumulate_grad` recipe (vits2/cli.py:255-262,338-356,
+    manual_backward(loss * 1/k) summed over k micro-batches == the mean
+    gradient), applied per optimizer (G, D, and the duration discriminator
+    each accumulate independently at frozen params). The inner optimizer's
+    step count advances once per *real* update, so transition_steps is
+    divided by k to keep the per-epoch LR decay cadence (the reference steps
+    ExponentialLR per epoch regardless of accumulation).
+
+    `inner` injects a custom inner optimizer (tests use plain SGD so the
+    averaged-update algebra is exactly checkable); the MultiSteps wrap still
+    applies.
+    """
+    k = max(1, int(getattr(cfg.train, "grad_accum", 1)))
+    if inner is None:
+        lr = optax.exponential_decay(
+            init_value=cfg.train.learning_rate,
+            transition_steps=max(1, steps_per_epoch // k),
+            decay_rate=cfg.train.lr_decay,
+            staircase=True,
+        )
+        inner = optax.adamw(
+            lr,
+            b1=cfg.train.betas[0],
+            b2=cfg.train.betas[1],
+            eps=cfg.train.eps,
+            weight_decay=0.01,
+        )
+    if k > 1:
+        inner = optax.MultiSteps(inner, every_k_schedule=k)
+    return inner
 
 
 def create_train_state(
@@ -82,12 +102,18 @@ def create_train_state(
     rng: Optional[jax.Array] = None,
     steps_per_epoch: int = 1000,
     sample_batch: Optional[Dict[str, jax.Array]] = None,
+    tx=None,
 ) -> Tuple[TrainState, Any]:
-    """Initialize all networks + optimizers. Returns (state, optimizer)."""
+    """Initialize all networks + optimizers. Returns (state, optimizer).
+
+    `tx` overrides the optimizer (must already include any MultiSteps wrap —
+    use make_optimizer(cfg, inner=...) to build it)."""
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
     k_g, k_d, k_dur, k_noise, k_drop = jax.random.split(rng, 5)
     b = sample_batch
     init_rngs = {"params": k_g, "noise": k_noise, "dropout": k_drop}
+    if tx is None:
+        tx = make_optimizer(cfg, steps_per_epoch)
     sid = b.get("sid") if cfg.model.n_speakers > 1 else None
     # jit the initializers: one compiled program instead of thousands of
     # op-by-op dispatches (matters a lot on remote/tunneled devices)
@@ -103,7 +129,6 @@ def create_train_state(
     vars_d = jax.jit(lambda: mpd.init({"params": k_d}, dummy_wav, dummy_wav))()
     params_d = vars_d["params"]
 
-    tx = make_optimizer(cfg, steps_per_epoch)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params_g=params_g,
@@ -171,6 +196,10 @@ def make_train_step(cfg: VITS2Config, model, mpd, tx, dur_disc=None):
         copies alive, defeats XLA buffer donation, and measured +57% step
         time on v5e.) On a skipped step the optimizer's EMA state decays once
         toward zero and its count advances — bounded, finite, and documented.
+        With grad_accum > 1 (MultiSteps) a non-finite micro-batch contributes
+        a zero gradient to the window average; if it lands on the window
+        boundary the boundary update is additionally zeroed, dropping that
+        window's update (safe, documented loss of one window).
         Returns (new_params, new_opt_state, ok)."""
         if not skip_nonfinite:
             upd, new_opt = tx.update(grads, opt_state, params)
