@@ -255,3 +255,182 @@ def test_discriminator_parity(ref_models, rng):
     # roundtrip back into flax
     back, report = convert_mpd(sd)
     assert report["missing"] == [] and report["unused"] == []
+
+
+# ---------------------------------------------------------------------------
+# Multi-speaker + voice conversion vs the torch oracle (models.py:1288-1336)
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+MS_CFG = dataclasses.replace(CFG, n_speakers=4, gin_channels=8)
+
+
+def build_pair_ms(ref_models, cfg=MS_CFG):
+    """build_pair for a multi-speaker model (sid threaded through init)."""
+    ours = SynthesizerTrn(n_vocab=N_VOCAB, spec_channels=SPEC_CH,
+                          segment_frames=4, cfg=cfg)
+    x = jnp.asarray([[1, 2, 3, 4, 5, 6, 7]])
+    xl = jnp.asarray([7])
+    y = jnp.zeros((1, 16, SPEC_CH))
+    yl = jnp.asarray([16])
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    params = ours.init(rngs, x, xl, y, yl, sid=jnp.asarray([0]))["params"]
+    params = jax.device_get(params)
+
+    sd = export_torch_state_dict(params, cfg)
+    sd_t = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    ref = ref_models.SynthesizerTrn(
+        N_VOCAB, SPEC_CH, 4,
+        inter_channels=cfg.inter_channels,
+        hidden_channels=cfg.hidden_channels,
+        filter_channels=cfg.filter_channels,
+        n_heads=cfg.n_heads,
+        n_layers=cfg.n_layers,
+        kernel_size=cfg.kernel_size,
+        p_dropout=cfg.p_dropout,
+        resblock=cfg.resblock,
+        resblock_kernel_sizes=list(cfg.resblock_kernel_sizes),
+        resblock_dilation_sizes=[list(d) for d in cfg.resblock_dilation_sizes],
+        upsample_rates=list(cfg.upsample_rates),
+        upsample_initial_channel=cfg.upsample_initial_channel,
+        upsample_kernel_sizes=list(cfg.upsample_kernel_sizes),
+        n_speakers=cfg.n_speakers,
+        gin_channels=cfg.gin_channels,
+        use_sdp=cfg.use_sdp,
+        use_transformer_flows=cfg.use_transformer_flows,
+        transformer_flow_type=cfg.transformer_flow_type,
+        use_spk_conditioned_encoder=cfg.use_spk_conditioned_encoder,
+    )
+    missing, unexpected = ref.load_state_dict(sd_t, strict=False)
+    assert not missing, f"converter missing keys: {missing[:8]}"
+    assert not unexpected, f"converter emitted unknown keys: {unexpected[:8]}"
+    ref.eval()
+    return ours, params, ref
+
+
+def test_multispeaker_infer_parity(ref_models, rng):
+    """sid-threaded deterministic infer: durations, alignment, and waveform
+    must match the reference for every speaker — and speakers must differ
+    from each other (the emb_g conditioning is live, not ignored)."""
+    ours, params, ref = build_pair_ms(ref_models)
+    ids = rng.integers(1, N_VOCAB, 7)
+    x = jnp.asarray(ids[None])
+    xl = jnp.asarray([7])
+    hop = 8  # prod(upsample_rates)
+    wavs = []
+    for spk in (0, 2):
+        audio, attn, y_mask, aux, y_lengths = ours.apply(
+            {"params": params}, x, xl, sid=jnp.asarray([spk]),
+            noise_scale=0.0, noise_scale_w=0.0, length_scale=1.0,
+            max_frames=32, method=SynthesizerTrn.infer,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        n_frames = int(np.asarray(y_lengths)[0])
+        with torch.no_grad():
+            o_t, attn_t, mask_t, _ = ref.infer(
+                torch.from_numpy(ids[None].astype(np.int64)),
+                torch.tensor([7]), sid=torch.tensor([spk]),
+                noise_scale=0.0, length_scale=1.0, noise_scale_w=0.0,
+            )
+        assert n_frames == int(mask_t.sum()) > 0, f"speaker {spk} durations"
+        np.testing.assert_array_equal(
+            np.asarray(attn)[0, :n_frames], attn_t[0, 0, :n_frames].numpy()
+        )
+        ours_wav = np.asarray(audio)[0, : n_frames * hop, 0]
+        ref_wav = o_t[0, 0, : n_frames * hop].numpy()
+        np.testing.assert_allclose(ours_wav, ref_wav, rtol=1e-3, atol=2e-4)
+        wavs.append(ours_wav)
+    L = min(len(wavs[0]), len(wavs[1]))
+    assert np.abs(wavs[0][:L] - wavs[1][:L]).max() > 1e-4, \
+        "different speakers must synthesize different audio"
+
+
+def test_spk_conditioned_encoder_infer_parity(ref_models, rng):
+    """use_spk_conditioned_encoder: the mid-stack g-injection in the text
+    encoder (attentions.py:76-93, cond_layer_idx=2) threads through infer
+    identically."""
+    cfg = dataclasses.replace(
+        MS_CFG, use_spk_conditioned_encoder=True, n_layers=3
+    )
+    ours, params, ref = build_pair_ms(ref_models, cfg)
+    ids = rng.integers(1, N_VOCAB, 6)
+    x = jnp.asarray(ids[None])
+    xl = jnp.asarray([6])
+    audio, attn, y_mask, aux, y_lengths = ours.apply(
+        {"params": params}, x, xl, sid=jnp.asarray([1]),
+        noise_scale=0.0, noise_scale_w=0.0, length_scale=1.0,
+        max_frames=32, method=SynthesizerTrn.infer,
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    n_frames = int(np.asarray(y_lengths)[0])
+    with torch.no_grad():
+        o_t, attn_t, mask_t, _ = ref.infer(
+            torch.from_numpy(ids[None].astype(np.int64)), torch.tensor([6]),
+            sid=torch.tensor([1]),
+            noise_scale=0.0, length_scale=1.0, noise_scale_w=0.0,
+        )
+    assert n_frames == int(mask_t.sum()) > 0
+    ours_wav = np.asarray(audio)[0, : n_frames * 8, 0]
+    ref_wav = o_t[0, 0, : n_frames * 8].numpy()
+    np.testing.assert_allclose(ours_wav, ref_wav, rtol=1e-3, atol=2e-4)
+
+
+def test_voice_conversion_parity(ref_models, rng, monkeypatch):
+    """voice_conversion (models.py:1328-1336): enc_q(sid_src) -> flow forward
+    (src) -> flow reverse (tgt) -> dec(tgt), with the posterior's sampling
+    noise INJECTED into the reference (torch.randn_like patched to replay our
+    eps) so the stochastic path is compared end-to-end, not just the
+    deterministic spine."""
+    ours, params, ref = build_pair_ms(ref_models)
+    T_y = 16
+    spec = rng.standard_normal((1, T_y, SPEC_CH)).astype(np.float32) * 0.3
+    y = jnp.asarray(spec)
+    yl = jnp.asarray([T_y])
+    sid_src, sid_tgt = jnp.asarray([1]), jnp.asarray([3])
+
+    o_hat, y_mask, (z, z_p, z_hat) = ours.apply(
+        {"params": params}, y, yl, sid_src, sid_tgt,
+        method=SynthesizerTrn.voice_conversion,
+        rngs={"noise": jax.random.PRNGKey(5)},
+    )
+
+    # recover our posterior eps from (z - m_q) / exp(logs_q): m_q/logs_q are
+    # deterministic, so a standalone enc_q call reproduces them
+    g_src = ours.apply(
+        {"params": params}, sid_src,
+        method=lambda m, s: m.emb_g(s)[:, None, :],
+    )
+    _z2, m_q, logs_q, _ym = ours.apply(
+        {"params": params}, y, yl, g_src,
+        method=lambda m, y, yl, g: m.enc_q(y, yl, g=g, deterministic=True),
+        rngs={"noise": jax.random.PRNGKey(99)},
+    )
+    eps = (np.asarray(z) - np.asarray(m_q)) / np.exp(np.asarray(logs_q))
+    eps_t = torch.from_numpy(eps.transpose(0, 2, 1).astype(np.float32))
+    monkeypatch.setattr(torch, "randn_like", lambda t: eps_t)
+
+    # latent reference bug: voice_conversion asserts self.n_speakers
+    # (models.py:1329) but __init__ never stores the attribute, so the
+    # reference's own VC crashes as written. Supply it to run the oracle.
+    ref.n_speakers = MS_CFG.n_speakers
+
+    with torch.no_grad():
+        o_t, mask_t, (z_t, z_p_t, z_hat_t) = ref.voice_conversion(
+            torch.from_numpy(spec.transpose(0, 2, 1)), torch.tensor([T_y]),
+            torch.tensor([1]), torch.tensor([3]),
+        )
+    np.testing.assert_allclose(
+        np.asarray(z), z_t.numpy().transpose(0, 2, 1), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_p), z_p_t.numpy().transpose(0, 2, 1), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_hat), z_hat_t.numpy().transpose(0, 2, 1),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_hat)[0, :, 0], o_t[0, 0].numpy(), rtol=1e-3, atol=2e-4
+    )

@@ -179,3 +179,38 @@ def test_full_shape_sharded_step_compiles_aot(rng):
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     assert float(cost.get("flops", 0.0)) > 1e11  # a real full-size step
+
+
+def test_vits2_dur_disc_sharded_equals_unsharded(rng):
+    """Round-2 weak-#5: the duration-discriminator branch (three optimizers)
+    had never run sharded. Same sharded==unsharded gradient-equality witness
+    as above, with dur_disc wired in — its metrics and its SGD-updated
+    parameters must match across the 8-device mesh."""
+    from test_vits2_train_step import build_all, tiny_config
+    from torch_tts_tpu.train.vits2_train import make_train_step
+
+    assert len(jax.devices()) == 8
+    cfg = tiny_config(use_duration_discriminator=True)
+    model, mpd, dd, batch, state, _ = build_all(cfg, rng, dur_disc_on=True)
+
+    tx = optax.sgd(0.1)
+    state = state.replace(
+        opt_g=tx.init(state.params_g),
+        opt_d=tx.init(state.params_d),
+        opt_dur=tx.init(state.params_dur),
+    )
+    step_jit = jax.jit(make_train_step(cfg, model, mpd, tx, dur_disc=dd))
+
+    s1, m1 = step_jit(state, batch, jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    s2, m2 = step_jit(
+        replicate(state, mesh), shard_batch(batch, mesh), jax.random.PRNGKey(0)
+    )
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m2[k]), rtol=1e-5, atol=1e-5, err_msg=k
+        )
+    assert _max_leaf_diff(state.params_dur, s1.params_dur) > 0
+    assert _max_leaf_diff(s1.params_g, s2.params_g) < 1e-4
+    assert _max_leaf_diff(s1.params_d, s2.params_d) < 1e-4
+    assert _max_leaf_diff(s1.params_dur, s2.params_dur) < 1e-4
