@@ -137,3 +137,101 @@ def test_from_run_dir_with_reference_pth(tmp_path, rng):
     )
     r = synth.synthesize(["hello"], seed=1)[0]
     assert len(r.audio) > 0
+
+
+# ---------------------------------------------------------------------------
+# Batch tiers (bounded executable cache) + continuous batching
+# ---------------------------------------------------------------------------
+
+
+def test_batch_tiers_bound_cache(synth):
+    """Any traffic pattern maps onto tier batch sizes only — the executable
+    cache is bounded at len(batch_tiers) x len(buckets), never one entry per
+    observed group size."""
+    synth._infer_cache.clear()
+    for n in (1, 2, 3, 5, 6, 7):
+        texts = ["hello"] * n
+        results = synth.synthesize(texts, seed=1)
+        assert len(results) == n
+    cached_batches = {k[0] for k in synth._infer_cache}
+    assert cached_batches <= set(synth.batch_tiers), cached_batches
+    assert len(synth._infer_cache) <= len(synth.batch_tiers) * len(synth.buckets)
+
+
+def test_tier_padding_matches_exact_batch(synth):
+    """Padding a 3-request group up to the 4-tier must not change the real
+    rows: a tier-padded group of 3 and a true batch of 4 sharing the same
+    first three rows (same executable, same per-row noise) must produce
+    identical audio for those rows. (Texts are pre-sorted by length so both
+    calls assign the same rows; audio DOES depend on batch row index — one
+    PRNGKey draws the whole batch's noise — which is why the comparison is
+    row-against-row, not batch-against-singles.)"""
+    texts3 = ["hi", "yes", "hello"]  # ascending encoded length
+    texts4 = texts3 + ["helloo"]  # longest last: sorted order unchanged
+    grouped3 = synth.synthesize(texts3, seed=9)  # 3 real + 1 pad row
+    grouped4 = synth.synthesize(texts4, seed=9)  # 4 real rows
+    for a, b in zip(grouped3, grouped4[:3]):
+        assert a.audio.shape == b.audio.shape
+        np.testing.assert_allclose(a.audio, b.audio, atol=2e-5)
+
+
+def test_group_larger_than_max_tier_splits(synth):
+    texts = ["hello"] * (synth.max_batch + 3)
+    results = synth.synthesize(texts, seed=2)
+    assert len(results) == len(texts)
+    assert all(len(r.audio) > 0 for r in results)
+
+
+def test_continuous_batcher_basic(synth):
+    """Queued requests resolve with the same audio the offline path gives
+    (same group composition + same seed -> same PRNG stream)."""
+    from torch_tts_tpu.infer.serving import ContinuousBatcher
+
+    # pre-sorted by encoded length: the batcher (submission order) and the
+    # offline path (sorted order) then build the same group rows, so the
+    # per-row noise draws coincide
+    texts = ["hi", "yes", "hello", "helloo"]
+    cb = ContinuousBatcher(synth, autostart=False)
+    futs = [cb.submit(t, seed=11) for t in texts]
+    cb.start()
+    got = [f.result(timeout=120) for f in futs]
+    cb.close()
+
+    want = synth.synthesize(texts, seed=11)
+    for a, b in zip(got, want):
+        assert a.audio.shape == b.audio.shape
+        np.testing.assert_allclose(a.audio, b.audio, atol=2e-5)
+
+
+def test_continuous_batcher_concurrent_submitters(synth):
+    import threading
+
+    from torch_tts_tpu.infer.serving import ContinuousBatcher
+
+    results = {}
+    with ContinuousBatcher(synth) as cb:
+        def worker(i):
+            results[i] = cb.submit(f"hello {i}", seed=5).result(timeout=120)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert len(results) == 6
+    for r in results.values():
+        assert len(r.audio) > 0
+
+
+def test_continuous_batcher_mixed_scales_dont_merge(synth):
+    """Requests with different scale settings land in different dispatch
+    groups (scales are per-call scalars) but all resolve."""
+    from torch_tts_tpu.infer.serving import ContinuousBatcher
+
+    cb = ContinuousBatcher(synth, autostart=False)
+    f1 = cb.submit("hello", noise_scale=0.0, seed=3)
+    f2 = cb.submit("hello", noise_scale=0.9, seed=3)
+    cb.start()
+    a, b = f1.result(timeout=120), f2.result(timeout=120)
+    cb.close()
+    assert not np.array_equal(a.audio, b.audio)

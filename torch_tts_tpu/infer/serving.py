@@ -1,13 +1,19 @@
 """High-level synthesis API — the serving layer over VITS2.
 
 The reference scatters inference across scripts (inference.py, webui.py,
-export_onnx.py) that each rebuild the model; `Synthesizer` is the single
-load-once surface the CLIs/web UI here share, designed for production
-serving on TPU:
+export_onnx.py) that each rebuild the model and serve one request at a time
+(vits2/webui.py:65); `Synthesizer` is the single load-once surface the
+CLIs/web UI here share, designed for production serving on TPU:
 
 - length-bucketed compilation: texts are padded to a small set of static
   (text, frame) buckets so every request hits a cached executable,
-- batched synthesis across requests in the same bucket,
+- batch tiers: request groups are padded up to a fixed set of batch sizes
+  (default 1/2/4/8), so the executable cache is BOUNDED at
+  len(batch_tiers) x len(buckets) programs no matter the traffic pattern
+  (padding rows are masked through the whole model and discarded),
+- continuous batching: `ContinuousBatcher` drains a request queue into the
+  next dispatch, so concurrent callers share TPU batches instead of
+  serializing (the reference has no serving loop at all),
 - explicit RNG (same seed -> same audio).
 """
 
@@ -15,6 +21,9 @@ from __future__ import annotations
 
 import bisect
 import logging
+import queue
+import threading
+from concurrent.futures import Future
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -24,6 +33,7 @@ logger = logging.getLogger(__name__)
 
 # (max_text_tokens, max_frames) tiers; ~5.8 frames/token covers English TTS
 DEFAULT_BUCKETS = ((64, 384), (128, 768), (256, 1344), (512, 2048))
+DEFAULT_BATCH_TIERS = (1, 2, 4, 8)
 
 
 @dataclass
@@ -39,6 +49,7 @@ class Synthesizer:
         cfg,
         params,
         buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+        batch_tiers: Sequence[int] = DEFAULT_BATCH_TIERS,
     ):
         import jax
 
@@ -48,6 +59,7 @@ class Synthesizer:
         self.cfg = cfg
         self.params = params
         self.buckets = sorted(buckets)
+        self.batch_tiers = sorted(batch_tiers)
         self.model, _, _ = build_models(cfg)
         self._infer_cache = {}
         self._SynthesizerTrn = SynthesizerTrn
@@ -99,7 +111,25 @@ class Synthesizer:
             )
         return self.buckets[idx]
 
+    def _tier_for(self, n: int) -> int:
+        """Smallest batch tier >= n (groups larger than the top tier are
+        split by the callers)."""
+        idx = bisect.bisect_left(self.batch_tiers, n)
+        if idx >= len(self.batch_tiers):
+            raise ValueError(
+                f"group of {n} exceeds max batch tier {self.batch_tiers[-1]}"
+            )
+        return self.batch_tiers[idx]
+
+    @property
+    def max_batch(self) -> int:
+        return self.batch_tiers[-1]
+
     def _infer_fn(self, batch: int, pad_text: int, max_frames: int):
+        """One cached executable per (batch tier, bucket). `batch` MUST be a
+        tier value — callers pad groups via _tier_for — keeping the cache
+        bounded at len(batch_tiers) * len(buckets) entries."""
+        assert batch in self.batch_tiers, (batch, self.batch_tiers)
         key = (batch, pad_text, max_frames)
         fn = self._infer_cache.get(key)
         if fn is None:
@@ -128,6 +158,48 @@ class Synthesizer:
             ids = intersperse(ids, 0)
         return ids
 
+    def _run_group(
+        self,
+        encoded: Sequence[List[int]],
+        scales,
+        key,
+        sid: Optional[Sequence[int]] = None,
+        return_attn: bool = False,
+    ) -> List[SynthesisResult]:
+        """Synthesize one group of encoded texts (all in the same length
+        bucket) with one executable call, padded up to the batch tier.
+        Padding rows use a single blank token and are discarded."""
+        import jax.numpy as jnp
+
+        pad_text, max_frames = self._bucket_for(max(len(e) for e in encoded))
+        B = len(encoded)
+        tier = self._tier_for(B)
+        x = np.zeros((tier, pad_text), np.int32)
+        xl = np.ones((tier,), np.int32)  # padding rows: 1 blank token
+        for row, ids in enumerate(encoded):
+            x[row, : len(ids)] = ids
+            xl[row] = len(ids)
+        sid_arr = None
+        if sid is not None:
+            sid_pad = list(sid) + [0] * (tier - B)
+            sid_arr = jnp.asarray(sid_pad, jnp.int32)
+        fn = self._infer_fn(tier, pad_text, max_frames)
+        audio, y_lengths, attn = fn(
+            self.params, jnp.asarray(x), jnp.asarray(xl), sid_arr, scales, key
+        )
+        audio = np.asarray(audio)
+        y_lengths = np.asarray(y_lengths)
+        hop = self.cfg.audio.hop_length
+        sr = self.cfg.audio.sampling_rate
+        return [
+            SynthesisResult(
+                audio=audio[row, : int(y_lengths[row]) * hop, 0],
+                sample_rate=sr,
+                attn=np.asarray(attn[row]) if return_attn else None,
+            )
+            for row in range(B)
+        ]
+
     def synthesize(
         self,
         texts: Sequence[str],
@@ -145,44 +217,149 @@ class Synthesizer:
         encoded = [self.encode_text(t) for t in texts]
         order = sorted(range(len(texts)), key=lambda i: len(encoded[i]))
         results: List[Optional[SynthesisResult]] = [None] * len(texts)
-        hop = self.cfg.audio.hop_length
-        sr = self.cfg.audio.sampling_rate
         scales = jnp.asarray([noise_scale, length_scale, noise_scale_w], jnp.float32)
 
-        # group contiguous same-bucket requests
+        # group contiguous same-bucket requests, capped at the top batch tier
         groups: List[List[int]] = []
         for i in order:
             b = self._bucket_for(len(encoded[i]))
-            if groups and self._bucket_for(len(encoded[groups[-1][-1]])) == b:
+            if (
+                groups
+                and self._bucket_for(len(encoded[groups[-1][-1]])) == b
+                and len(groups[-1]) < self.max_batch
+            ):
                 groups[-1].append(i)
             else:
                 groups.append([i])
 
         for group in groups:
-            pad_text, max_frames = self._bucket_for(len(encoded[group[-1]]))
-            B = len(group)
-            x = np.zeros((B, pad_text), np.int32)
-            xl = np.zeros((B,), np.int32)
-            for row, i in enumerate(group):
-                ids = encoded[i]
-                x[row, : len(ids)] = ids
-                xl[row] = len(ids)
-            sid_arr = (
-                jnp.asarray([sid[i] for i in group], jnp.int32)
-                if sid is not None else None
+            out = self._run_group(
+                [encoded[i] for i in group], scales, jax.random.PRNGKey(seed),
+                sid=[sid[i] for i in group] if sid is not None else None,
+                return_attn=return_attn,
             )
-            fn = self._infer_fn(B, pad_text, max_frames)
-            audio, y_lengths, attn = fn(
-                self.params, jnp.asarray(x), jnp.asarray(xl), sid_arr, scales,
-                jax.random.PRNGKey(seed),
-            )
-            audio = np.asarray(audio)
-            y_lengths = np.asarray(y_lengths)
             for row, i in enumerate(group):
-                n = int(y_lengths[row]) * hop
-                results[i] = SynthesisResult(
-                    audio=audio[row, :n, 0],
-                    sample_rate=sr,
-                    attn=np.asarray(attn[row]) if return_attn else None,
-                )
+                results[i] = out[row]
         return results  # type: ignore[return-value]
+
+
+@dataclass
+class _Request:
+    encoded: List[int]
+    scales_key: Tuple[float, float, float]
+    seed: int
+    sid: Optional[int]
+    future: Future
+
+
+class ContinuousBatcher:
+    """Queue-based continuous batching over a Synthesizer.
+
+    Concurrent callers `submit()` texts and get Futures; a worker loop drains
+    everything already queued into the next TPU dispatch (grouped by length
+    bucket and scale settings, padded to the batch tier). New requests are
+    admitted into the *next* batch as soon as the current one dispatches —
+    latency under load is one in-flight batch, not a serial queue.
+
+    RNG policy: each dispatched group uses PRNGKey(seed of the first request
+    in the group); per-request bit-reproducibility therefore holds only when
+    the group composition is reproduced (batch composition is
+    traffic-dependent by design).
+    """
+
+    def __init__(self, synth: Synthesizer, max_queue: int = 1024,
+                 autostart: bool = True):
+        self.synth = synth
+        self._q: "queue.Queue[_Request]" = queue.Queue(max_queue)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        if autostart:
+            self.start()
+
+    def start(self) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def submit(
+        self,
+        text: str,
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_scale_w: float = 0.8,
+        sid: Optional[int] = None,
+        seed: int = 1234,
+    ) -> Future:
+        """Enqueue one request; the Future resolves to a SynthesisResult."""
+        fut: Future = Future()
+        req = _Request(
+            encoded=self.synth.encode_text(text),
+            scales_key=(noise_scale, length_scale, noise_scale_w),
+            seed=seed,
+            sid=sid,
+            future=fut,
+        )
+        self._q.put(req)
+        return fut
+
+    # -- worker ---------------------------------------------------------
+
+    def _drain(self) -> List[_Request]:
+        """Block for the first request, then take everything already queued."""
+        try:
+            first = self._q.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        while True:
+            try:
+                batch.append(self._q.get_nowait())
+            except queue.Empty:
+                return batch
+
+    def _loop(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        while not self._stop.is_set():
+            reqs = self._drain()
+            if not reqs:
+                continue
+            # group by (bucket, scales, multispeaker-ness); cap at max tier
+            groups: dict = {}
+            for r in reqs:
+                bucket = self.synth._bucket_for(len(r.encoded))
+                gkey = (bucket, r.scales_key, r.sid is not None)
+                bins = groups.setdefault(gkey, [[]])
+                if len(bins[-1]) >= self.synth.max_batch:
+                    bins.append([])
+                bins[-1].append(r)
+            for (bucket, scales_key, has_sid), bins in groups.items():
+                scales = jnp.asarray(scales_key, jnp.float32)
+                for bin_reqs in bins:
+                    try:
+                        out = self.synth._run_group(
+                            [r.encoded for r in bin_reqs],
+                            scales,
+                            jax.random.PRNGKey(bin_reqs[0].seed),
+                            sid=[r.sid for r in bin_reqs] if has_sid else None,
+                        )
+                        for r, res in zip(bin_reqs, out):
+                            r.future.set_result(res)
+                    except Exception as e:  # surface the error to callers
+                        for r in bin_reqs:
+                            if not r.future.done():
+                                r.future.set_exception(e)
