@@ -110,3 +110,93 @@ def test_streaming_end_to_end_matches_infer(rng, decoder):
     sd = StreamingDecoder(model, variables, chunk_frames=32, context_frames=16)
     out = sd.decode(z, g, y_mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(audio), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# StreamingFlowDecoder: flow-reverse chunked along with the decoder
+# ---------------------------------------------------------------------------
+
+from torch_tts_tpu.infer.streaming import StreamingFlowDecoder
+
+
+def _plain_flow_cfg(**model_kw):
+    """Conv-local flow: plain residual couplings (use_transformer_flows off)."""
+    cfg = tiny_config(**model_kw)
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_transformer_flows=False)
+    )
+
+
+@pytest.mark.parametrize("T", [192, 200])
+def test_streaming_flow_matches_monolithic(rng, T):
+    cfg = _plain_flow_cfg()
+    model, variables = _build(cfg, rng)
+    z_p = jnp.asarray(
+        rng.standard_normal((1, T, cfg.model.inter_channels)).astype(np.float32)
+    )
+    y_mask = jnp.ones((1, T, 1), jnp.float32)
+
+    def mono(m, zp, mm):
+        z = m.flow(zp, mm, reverse=True, deterministic=True)
+        return m.dec(z * mm, x_mask=mm)
+
+    full = model.apply(variables, z_p, y_mask, method=mono)
+    sfd = StreamingFlowDecoder(model, variables, chunk_frames=32,
+                               context_frames=48)
+    pieces = list(sfd.stream(z_p, y_mask=y_mask))
+    assert len(pieces) == -(-T // 32)
+    out = jnp.concatenate(pieces, axis=1)
+    assert out.shape == full.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=2e-5)
+
+
+def test_streaming_flow_end_to_end_matches_infer(rng):
+    """infer_pre_flow + StreamingFlowDecoder reproduces infer's audio."""
+    cfg = _plain_flow_cfg()
+    model, variables = _build(cfg, rng)
+    x = jnp.asarray(rng.integers(1, 30, (1, 9)), jnp.int32)
+    xl = jnp.full((1,), 9, jnp.int32)
+    kw = dict(noise_scale=0.667, noise_scale_w=0.8, length_scale=1.0,
+              max_frames=192)
+    noise = {"noise": jax.random.PRNGKey(5)}
+    audio, _attn, _ym, _aux, y_len = model.apply(
+        variables, x, xl, method=SynthesizerTrn.infer, rngs=noise, **kw
+    )
+    z_p, g, y_mask, y_len2 = model.apply(
+        variables, x, xl, method=SynthesizerTrn.infer_pre_flow, rngs=noise, **kw
+    )
+    assert int(y_len[0]) == int(y_len2[0])
+    sfd = StreamingFlowDecoder(model, variables, chunk_frames=32,
+                               context_frames=48)
+    out = sfd.decode(z_p, g, y_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(audio), atol=2e-5)
+
+
+def test_streaming_flow_speaker_conditioned(rng):
+    cfg = _plain_flow_cfg(n_speakers=4, gin_channels=8)
+    model, variables = _build(cfg, rng)
+    T = 128
+    z_p = jnp.asarray(
+        rng.standard_normal((1, T, cfg.model.inter_channels)).astype(np.float32)
+    )
+    y_mask = jnp.ones((1, T, 1), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 1, 8)).astype(np.float32))
+
+    def mono(m, zp, mm, gg):
+        z = m.flow(zp, mm, g=gg, reverse=True, deterministic=True)
+        return m.dec(z * mm, g=gg, x_mask=mm)
+
+    full = model.apply(variables, z_p, y_mask, g, method=mono)
+    sfd = StreamingFlowDecoder(model, variables, chunk_frames=32,
+                               context_frames=48)
+    out = sfd.decode(z_p, g, y_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=2e-5)
+
+
+def test_streaming_flow_rejects_transformer_flows(rng):
+    """Global-attention flows (pre_conv etc.) cannot be windowed exactly —
+    construction must refuse rather than silently approximate."""
+    cfg = tiny_config()  # default: use_transformer_flows=True, pre_conv
+    model, variables = _build(cfg, rng)
+    with pytest.raises(ValueError, match="conv-local"):
+        StreamingFlowDecoder(model, variables)

@@ -120,3 +120,100 @@ class StreamingDecoder:
                x_mask: Optional[jax.Array] = None) -> jax.Array:
         """Convenience: run the full stream and concatenate."""
         return jnp.concatenate(list(self.stream(z, g, x_mask)), axis=1)
+
+
+class StreamingFlowDecoder:
+    """Chunked flow-reverse + decode — streams the remaining prefix latency.
+
+    StreamingDecoder still runs the flow reverse on the FULL latent sequence
+    before the first chunk decodes; for conv-local flow stacks (plain
+    residual couplings, `use_transformer_flows=False` — each coupling is a
+    WN dilated-conv stack with a bounded receptive field,
+    models/vits2/model.py ResidualCouplingLayer) the flow can ride the same
+    clamped window as the decoder, so time-to-first-audio pays only
+    flow(window) + dec(window) instead of flow(T) + dec(window).
+
+    NOT available for the transformer flow types (`pre_conv`, `pre_conv2`,
+    `fft`, `mono_layer_*`): their pre_transformer/FFT blocks attend over the
+    whole sequence (window_size=None), so every output frame depends on every
+    input frame and no finite context window reproduces the monolithic
+    result. Construction asserts on those configs — use StreamingDecoder
+    (monolithic flow + chunked decode) there.
+
+    Exactness: same clamped/shifted fixed-size window scheme as
+    StreamingDecoder (see module docstring); `context_frames` must cover the
+    flow's receptive-field half-width PLUS the decoder's. The default 64 is
+    ample: 4 couplings x WN(4 layers, k5, dil 1) give a flow half-width of
+    ~32 frames, the HiFi-GAN MRF < 30, the iSTFT/PQMF tail < 2 (verified to
+    2e-5 by tests/test_streaming.py).
+    """
+
+    def __init__(self, model, variables, chunk_frames: int = 64,
+                 context_frames: int = 64, allow_nonlocal_flow: bool = False):
+        cfgm = model.cfg
+        if cfgm.use_transformer_flows and not allow_nonlocal_flow:
+            raise ValueError(
+                "StreamingFlowDecoder requires a conv-local flow "
+                "(use_transformer_flows=False); transformer flow type "
+                f"'{cfgm.transformer_flow_type}' attends globally. Use "
+                "StreamingDecoder, or pass allow_nonlocal_flow=True to "
+                "accept approximate output."
+            )
+        self.model = model
+        self.variables = variables
+        self.chunk = chunk_frames
+        self.ctx = context_frames
+
+        def _window(m, zp, mm, gg):
+            z = m.flow(zp, mm, g=gg, reverse=True, deterministic=True)
+            return m.dec(z * mm, g=gg, x_mask=mm)
+
+        @jax.jit
+        def _decode_window(variables, zpwin, mwin, g):
+            return model.apply(variables, zpwin, mwin, g, method=_window)
+
+        @jax.jit
+        def _decode_window_nog(variables, zpwin, mwin):
+            return model.apply(
+                variables, zpwin, mwin, None,
+                method=_window,
+            )
+
+        self._decode = _decode_window
+        self._decode_nog = _decode_window_nog
+
+    def stream(self, z_p: jax.Array, g: Optional[jax.Array] = None,
+               y_mask: Optional[jax.Array] = None) -> Iterator[jax.Array]:
+        """z_p: [B, T, C] pre-flow latents (SynthesizerTrn.infer_pre_flow)
+        -> yields audio chunks; concatenated chunks equal the monolithic
+        `dec(flow(z_p, reverse=True) * y_mask)` numerically (2e-5)."""
+        B, T, C = z_p.shape
+        if y_mask is None:
+            y_mask = jnp.ones((B, T, 1), z_p.dtype)
+        ck, ctx = self.chunk, self.ctx
+        W = ck + 2 * ctx
+        if T <= W:
+            yield (self._decode(self.variables, z_p, y_mask, g)
+                   if g is not None
+                   else self._decode_nog(self.variables, z_p, y_mask))
+            return
+        n_chunks = -(-T // ck)
+        factor = None
+        for i in range(n_chunks):
+            start = min(max(i * ck - ctx, 0), T - W)
+            zwin = jax.lax.dynamic_slice_in_dim(z_p, start, W, 1)
+            mwin = jax.lax.dynamic_slice_in_dim(y_mask, start, W, 1)
+            audio = (self._decode(self.variables, zwin, mwin, g)
+                     if g is not None
+                     else self._decode_nog(self.variables, zwin, mwin))
+            if factor is None:
+                assert audio.shape[1] % W == 0
+                factor = audio.shape[1] // W
+            lo = (i * ck - start) * factor
+            n_keep = min(ck, T - i * ck) * factor
+            yield audio[:, lo : lo + n_keep]
+
+    def decode(self, z_p: jax.Array, g: Optional[jax.Array] = None,
+               y_mask: Optional[jax.Array] = None) -> jax.Array:
+        """Convenience: run the full stream and concatenate."""
+        return jnp.concatenate(list(self.stream(z_p, g, y_mask)), axis=1)

@@ -760,6 +760,46 @@ class SynthesizerTrn(nn.Module):
         z = self.flow(z_p, y_mask, g=g, reverse=True, deterministic=deterministic)
         return z * y_mask, g, y_mask, y_lengths
 
+    def infer_pre_flow(
+        self,
+        x,
+        x_lengths,
+        sid=None,
+        noise_scale: float = 1.0,
+        length_scale: float = 1.0,
+        noise_scale_w: float = 1.0,
+        max_frames: int = 1000,
+        deterministic: bool = True,
+    ):
+        """`infer` up to (but not including) the flow reverse — for streaming
+        the flow+decoder jointly (infer/streaming.StreamingFlowDecoder) when
+        the flow stack is conv-local (plain couplings,
+        use_transformer_flows=False). Returns (z_p, g, y_mask, y_lengths);
+        `dec(flow(z_p, y_mask, reverse=True) * y_mask, g=g)` reproduces
+        `infer`'s audio exactly. No reference counterpart."""
+        c = self.cfg
+        g = self._speaker(sid)
+        hx, m_p, logs_p, x_mask = self.enc_p(x, x_lengths, g=g, deterministic=deterministic)
+        if c.use_sdp:
+            logw = self.dp(
+                hx, x_mask, g=g, reverse=True, noise_scale=noise_scale_w,
+                deterministic=deterministic,
+            )
+        else:
+            logw = self.dp(hx, x_mask, g=g, deterministic=deterministic)
+        w = jnp.exp(logw) * x_mask * length_scale
+        w_ceil = jnp.ceil(w)
+        y_lengths = jnp.maximum(jnp.sum(w_ceil, (1, 2)), 1.0).astype(jnp.int32)
+        y_lengths = jnp.minimum(y_lengths, max_frames)
+        y_mask = sequence_mask(y_lengths, max_frames).astype(x_mask.dtype)[..., None]
+        attn = generate_path(w_ceil[..., 0], max_frames)
+        attn = attn * (y_mask * jnp.swapaxes(x_mask, 1, 2))
+        m_p_e = jnp.einsum("btx,bxd->btd", attn, m_p)
+        logs_p_e = jnp.einsum("btx,bxd->btd", attn, logs_p)
+        eps = jax.random.normal(self.make_rng("noise"), m_p_e.shape, m_p_e.dtype)
+        z_p = m_p_e + eps * jnp.exp(logs_p_e) * noise_scale
+        return z_p, g, y_mask, y_lengths
+
     def voice_conversion(self, y, y_lengths, sid_src, sid_tgt, deterministic: bool = True):
         """Flow round-trip speaker swap (models.py:1328-1336)."""
         assert self.cfg.n_speakers > 1, "voice conversion needs a multi-speaker model"
