@@ -160,3 +160,24 @@ def test_fused_gate_matches_torch(rng):
         L.fused_add_tanh_sigmoid_multiply(jnp.asarray(a), jnp.asarray(b), C)
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("k,stride,pad", [(16, 8, 4), (16, 16, 0), (4, 2, 1),
+                                          (16, 4, 6)])
+def test_conv_transpose1d_subpixel_equals_dilated(rng, k, stride, pad):
+    """The subpixel (dense conv + depth-to-space) lowering is algebraically
+    identical to the input-dilated lowering for every shipped
+    (kernel, stride, padding) combination — incl. the mb_istft trunk's
+    (16, 4, 6)."""
+    B, T, Cin, Cout = 2, 11, 6, 10
+    x = rng.standard_normal((B, T, Cin)).astype(np.float32)
+    w = rng.standard_normal((k, Cout, Cin)).astype(np.float32) * 0.3
+    b = rng.standard_normal((Cout,)).astype(np.float32)
+    params = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+
+    sub = _run(L.ConvTranspose1d(Cout, k, stride=stride, padding=pad,
+                                 subpixel=True), x, params)
+    dil = _run(L.ConvTranspose1d(Cout, k, stride=stride, padding=pad,
+                                 subpixel=False), x, params)
+    assert sub.shape == dil.shape == (B, T * stride, Cout)
+    np.testing.assert_allclose(sub, dil, rtol=1e-5, atol=1e-6)

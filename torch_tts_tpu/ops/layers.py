@@ -189,11 +189,23 @@ class ConvTranspose1d(nn.Module):
     """Transposed 1-D convolution with torch semantics.
 
     out_len = (in_len - 1) * stride - 2 * padding + kernel_size.
-    Implemented as input-dilated convolution with a flipped kernel — the
-    standard lowering, which XLA fuses well on TPU. kernel param layout is
-    [k, out, in] (matching torch's ConvTranspose1d [in, out, k] modulo
-    transpose) so weight-norm's per-channel norm matches torch dim=0 (= the
-    *input*-channel axis for transposed convs).
+    kernel param layout is [k, out, in] (matching torch's ConvTranspose1d
+    [in, out, k] modulo transpose) so weight-norm's per-channel norm matches
+    torch dim=0 (= the *input*-channel axis for transposed convs).
+
+    Lowering (TPU): by default (`subpixel=None` = auto) the op is computed as
+    a SUBPIXEL convolution — one dense stride-1 conv producing stride*out
+    features per input frame, then depth-to-space — instead of the standard
+    input-dilated conv. The two are algebraically identical
+    (y[s*u + r] = sum_q x[s-q] * K[q*u + r + p]; the dense kernel packs the
+    per-phase taps K[q*u + r + p] as feature block r), but the dilated form
+    makes the MXU multiply the inserted zeros: its conv reads k taps per
+    OUTPUT sample (T*u*k MACs/channel-pair) where only k/u are nonzero, while
+    the subpixel form does T*(k+u) — an ~stride-fold FLOP reduction at
+    stride 8. Auto applies when out_len == in_len*stride (true for every
+    shipped config: k=2u p=u/2, and the mb_istft trunk k=16 u=4 p=6);
+    otherwise the dilated path runs. Equivalence is asserted by
+    tests/test_ops_layers.py against the dilated reference path.
     """
 
     features: int
@@ -202,11 +214,14 @@ class ConvTranspose1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     weight_norm: bool = False
+    subpixel: Optional[bool] = None  # None = auto
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         k = self.kernel_size
+        u = self.stride
+        p = self.padding
         fan_in = self.features * k // 1  # torch fan_in for transposed: out*k/groups
         shape = (k, self.features, in_ch)  # [k, out, in]
         init = torch_uniform_init(fan_in)
@@ -222,22 +237,61 @@ class ConvTranspose1d(nn.Module):
             kernel = v * (g.reshape((1, 1, in_ch)) / jnp.maximum(norm, 1e-12))
         else:
             kernel = self.param("kernel", init, shape)
-        # input-dilated conv: pad = k - 1 - padding on both sides, kernel flipped
-        flipped = jnp.flip(kernel, axis=0)  # [k, out, in]
-        flipped = jnp.swapaxes(flipped, 1, 2)  # -> [k, in, out] WIO
-        pad = k - 1 - self.padding
-        y = jax.lax.conv_general_dilated(
-            x,
-            flipped.astype(x.dtype),
-            window_strides=(1,),
-            padding=[(pad, pad)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+
+        use_subpixel = self.subpixel
+        if use_subpixel is None:
+            # auto: only when the subpixel output needs no tail adjustment
+            use_subpixel = u > 1 and (k - u - 2 * p) == 0
+        if use_subpixel:
+            assert (k - u - 2 * p) == 0, (
+                "subpixel ConvTranspose1d requires out_len == in_len*stride "
+                f"(k={k}, stride={u}, padding={p})"
+            )
+            y = self._subpixel(x, kernel, in_ch)
+        else:
+            # input-dilated conv: pad = k - 1 - padding each side, kernel flipped
+            flipped = jnp.flip(kernel, axis=0)  # [k, out, in]
+            flipped = jnp.swapaxes(flipped, 1, 2)  # -> [k, in, out] WIO
+            pad = k - 1 - p
+            y = jax.lax.conv_general_dilated(
+                x,
+                flipped.astype(x.dtype),
+                window_strides=(1,),
+                padding=[(pad, pad)],
+                lhs_dilation=(u,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", torch_uniform_init(fan_in), (self.features,))
             y = y + bias.astype(y.dtype)
         return y
+
+    def _subpixel(self, x, kernel, in_ch):
+        """Dense stride-1 conv + depth-to-space; exact transposed-conv values."""
+        k, u, p = self.kernel_size, self.stride, self.padding
+        C_out = self.features
+        B, T, _ = x.shape
+        q_min = -((p + u - 1) // u)
+        q_max = (k - 1 - p) // u
+        W_len = q_max - q_min + 1
+        # a_idx[w, r] = (q_max - w)*u + r + p : original-kernel tap index for
+        # correlation position w, output phase r
+        a_idx = (q_max - np.arange(W_len))[:, None] * u + np.arange(u)[None, :] + p
+        valid = (a_idx >= 0) & (a_idx < k)
+        a_clamped = np.clip(a_idx, 0, k - 1)
+        KG = kernel[a_clamped.reshape(-1)]  # [(W_len*u), out, in]
+        KG = KG.reshape(W_len, u, C_out, in_ch)
+        KG = jnp.where(jnp.asarray(valid)[..., None, None], KG, 0.0)
+        # -> WIO with feature blocks ordered [phase, out]
+        DK = jnp.transpose(KG, (0, 3, 1, 2)).reshape(W_len, in_ch, u * C_out)
+        y = jax.lax.conv_general_dilated(
+            x,
+            DK.astype(x.dtype),
+            window_strides=(1,),
+            padding=[(q_max, -q_min)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y.reshape(B, T * u, C_out)
 
 
 class Conv2d(nn.Module):
