@@ -34,7 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+PEAK_FLOPS = 197e12  # v5e bf16 MXU peak
+PEAK_BW = 819e9  # v5e HBM bytes/s
+
+
 def _chain(fn, *args, n=20):
+    """Returns (seconds/call, flops, bytes accessed) — the latter two from
+    XLA cost analysis (None when unavailable), for per-stage roofline floors
+    max(flops/PEAK_FLOPS, bytes/PEAK_BW)."""
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +57,16 @@ def _chain(fn, *args, n=20):
     for _ in range(n):
         carry = step(carry, *args)
     float(np.asarray(carry))
-    return (time.perf_counter() - t0) / n
+    dt = (time.perf_counter() - t0) / n
+    flops = bytes_ = None
+    try:
+        cost = step.lower(jnp.zeros(()), *args).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        bytes_ = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+    return dt, flops, bytes_
 
 
 def main():
@@ -93,8 +109,18 @@ def main():
         """Time one stage; print incrementally; survive transient tunnel
         errors so one flaky remote-compile doesn't void the whole run."""
         try:
-            results[name] = _chain(fn, *args)
-            print(f"{name:8s} {results[name]*1e3:8.2f} ms", file=sys.stderr)
+            dt, flops, bytes_ = _chain(fn, *args)
+            results[name] = {"ms": dt * 1e3, "flops": flops, "bytes": bytes_}
+            msg = f"{name:8s} {dt*1e3:8.2f} ms"
+            if flops is not None and bytes_:
+                floor = max(flops / PEAK_FLOPS, bytes_ / PEAK_BW)
+                results[name]["floor_ms"] = floor * 1e3
+                bound = ("BW" if bytes_ / PEAK_BW > flops / PEAK_FLOPS
+                         else "FLOP")
+                msg += (f"  floor {floor*1e3:7.2f} ms ({floor/dt*100:5.1f}% "
+                        f"eff, {bound}-bound)  {flops/1e9:8.2f} GF "
+                        f"{bytes_/1e6:8.1f} MB")
+            print(msg, file=sys.stderr)
         except Exception as e:
             print(f"{name:8s} FAILED: {e}", file=sys.stderr)
 
@@ -224,9 +250,13 @@ def main():
     )
 
     print("--- ranked ---", file=sys.stderr)
-    for k, v in sorted(results.items(), key=lambda kv: -kv[1]):
-        print(f"{k:8s} {v*1e3:8.2f} ms", file=sys.stderr)
-    print(json.dumps({k: round(v * 1e3, 3) for k, v in results.items()}))
+    for k, v in sorted(results.items(), key=lambda kv: -kv[1]["ms"]):
+        print(f"{k:8s} {v['ms']:8.2f} ms", file=sys.stderr)
+    print(json.dumps({
+        k: {kk: (round(vv, 3) if isinstance(vv, float) else vv)
+            for kk, vv in v.items()}
+        for k, v in results.items()
+    }))
 
 
 if __name__ == "__main__":

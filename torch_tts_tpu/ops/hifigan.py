@@ -105,7 +105,8 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, x, g: Optional[jnp.ndarray] = None,
-                 x_mask: Optional[jnp.ndarray] = None):
+                 x_mask: Optional[jnp.ndarray] = None,
+                 stop_after_stage: Optional[int] = None):
         """x: [B, T, C_in] latent frames -> [B, T * prod(rates), 1] waveform.
 
         x_mask [B, T, 1] (optional): when decoding a padded batch, masking is
@@ -113,6 +114,11 @@ class Generator(nn.Module):
         valid region are bit-equal to decoding that item unpadded (the
         reference decodes exact lengths; a bias-valued tail would otherwise
         leak into the last receptive field).
+
+        stop_after_stage (diagnostic, scripts/bench_infer_breakdown.py):
+        -1 returns the conv_pre output, i returns the activation after
+        upsample stage i's MRF bank — used to time/cost each prefix of the
+        decoder pipeline. None (default) runs the full decoder.
         """
         num_kernels = len(self.resblock_kernel_sizes)
         res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
@@ -124,6 +130,8 @@ class Generator(nn.Module):
             x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
         if x_mask is not None:
             x = x * x_mask
+        if stop_after_stage is not None and stop_after_stage < 0:
+            return x
 
         mask = x_mask
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
@@ -149,6 +157,8 @@ class Generator(nn.Module):
                                 name=f"resblock_{i}_{j}")
                 xs = block(x, mask) if xs is None else xs + block(x, mask)
             x = xs / num_kernels
+            if stop_after_stage is not None and i == stop_after_stage:
+                return x
 
         x = leaky_relu(x, 0.01)  # final activation uses torch's default slope
         if mask is not None:
