@@ -266,3 +266,35 @@ def test_fft_multilayer_gin_shared_cond_pre(rng):
     assert "cond_pre" in v["params"] and "self_attn_2" in v["params"]
     y = fft.apply(v, x, xm, g, deterministic=True)
     assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
+def test_packed_tail_generator_ljspeech_geometry(rng):
+    """Packed tail at the production 8-8-2-2 geometry (channels 256/128/64/32
+    -> pack engages at stage 2, P*C == 128 through stage 3 and conv_post),
+    incl. the stop_after_stage diagnostic (must return unpacked layout)."""
+    from torch_tts_tpu.ops.hifigan import Generator
+
+    B, T, C = 1, 8, 16
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    kw = dict(
+        resblock="2",
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(8, 8, 2, 2),
+        upsample_initial_channel=512,
+        upsample_kernel_sizes=(16, 16, 4, 4),
+    )
+    gen_plain = Generator(**kw, pack_narrow=False)
+    gen_packed = Generator(**kw, pack_narrow=True)
+    params = gen_plain.init(jax.random.PRNGKey(0), x)["params"]
+    y1 = gen_plain.apply({"params": params}, x)
+    y2 = gen_packed.apply({"params": params}, x)
+    assert y1.shape == y2.shape == (B, T * 256, 1)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4,
+                               atol=1e-5)
+    for s in (2, 3):
+        a = gen_plain.apply({"params": params}, x, stop_after_stage=s)
+        b = gen_packed.apply({"params": params}, x, stop_after_stage=s)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)

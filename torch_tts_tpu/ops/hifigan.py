@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from torch_tts_tpu.ops.layers import Conv1d, ConvTranspose1d, leaky_relu
+from torch_tts_tpu.ops.packed_conv import packed_mask_mul, repack
 
 
 def _get_padding(kernel_size: int, dilation: int = 1) -> int:
@@ -29,14 +30,18 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
-    pack: int = 1  # space-to-depth factor for narrow channels (exact equiv)
+    pack: int = 1  # per-conv space-to-depth factor (exact equiv; legacy path)
 
     @nn.compact
-    def __call__(self, x, x_mask=None):
+    def __call__(self, x, x_mask=None, input_pack: int = 1):
+        """input_pack > 1: x (and the return value) are space-to-depth
+        packed [B, L/P, P*C]; every conv runs in packed layout and the
+        elementwise ops are layout-agnostic. x_mask stays UNPACKED
+        [B, L, 1] (packed_mask_mul reshapes around the multiply)."""
+        mul = (lambda t: packed_mask_mul(t, x_mask, input_pack, self.channels)) \
+            if x_mask is not None else (lambda t: t)
         for j, d in enumerate(self.dilation):
-            xt = leaky_relu(x)
-            if x_mask is not None:
-                xt = xt * x_mask
+            xt = mul(leaky_relu(x))
             xt = Conv1d(
                 self.channels,
                 self.kernel_size,
@@ -45,10 +50,8 @@ class ResBlock1(nn.Module):
                 weight_norm=True,
                 pack=self.pack,
                 name=f"conv1_{j}",
-            )(xt)
-            xt = leaky_relu(xt)
-            if x_mask is not None:
-                xt = xt * x_mask
+            )(xt, input_pack=input_pack)
+            xt = mul(leaky_relu(xt))
             xt = Conv1d(
                 self.channels,
                 self.kernel_size,
@@ -56,11 +59,9 @@ class ResBlock1(nn.Module):
                 weight_norm=True,
                 pack=self.pack,
                 name=f"conv2_{j}",
-            )(xt)
+            )(xt, input_pack=input_pack)
             x = xt + x
-        if x_mask is not None:
-            x = x * x_mask
-        return x
+        return mul(x)
 
 
 class ResBlock2(nn.Module):
@@ -70,11 +71,11 @@ class ResBlock2(nn.Module):
     pack: int = 1
 
     @nn.compact
-    def __call__(self, x, x_mask=None):
+    def __call__(self, x, x_mask=None, input_pack: int = 1):
+        mul = (lambda t: packed_mask_mul(t, x_mask, input_pack, self.channels)) \
+            if x_mask is not None else (lambda t: t)
         for j, d in enumerate(self.dilation):
-            xt = leaky_relu(x)
-            if x_mask is not None:
-                xt = xt * x_mask
+            xt = mul(leaky_relu(x))
             xt = Conv1d(
                 self.channels,
                 self.kernel_size,
@@ -83,11 +84,9 @@ class ResBlock2(nn.Module):
                 weight_norm=True,
                 pack=self.pack,
                 name=f"conv_{j}",
-            )(xt)
+            )(xt, input_pack=input_pack)
             x = xt + x
-        if x_mask is not None:
-            x = x * x_mask
-        return x
+        return mul(x)
 
 
 class Generator(nn.Module):
@@ -133,35 +132,61 @@ class Generator(nn.Module):
         if stop_after_stage is not None and stop_after_stage < 0:
             return x
 
+        # Packed tail (pack_narrow): once channels drop below 128 lanes the
+        # activations stay in space-to-depth layout [B, L/P, P*C] with
+        # P*C == 128 across EVERY op — packed transposed convs (a subpixel
+        # conv's pre-reshape output IS the stride-packed layout), packed
+        # resblock convs, packed conv_post — unpacking only at the final
+        # waveform. Same values (tested); without it every narrow [L, C]
+        # intermediate costs 128/C times its logical bytes in lane-padded
+        # HBM traffic (measured: the 32-channel stage+conv_post dominated
+        # batch-1 inference).
         mask = x_mask
+        P = 1  # current packing factor of x
+        ch_cur = self.upsample_initial_channel
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = leaky_relu(x)
             if mask is not None:
-                x = x * mask
-            x = ConvTranspose1d(
-                ch, k, stride=u, padding=(k - u) // 2, weight_norm=True,
-                name=f"up_{i}",
-            )(x)
+                x = packed_mask_mul(x, mask, P, ch_cur)
+            pad = (k - u) // 2
+            pack_stage = (
+                self.pack_narrow and ch < 128 and (k - u - 2 * pad) == 0
+            )
+            up = ConvTranspose1d(
+                ch, k, stride=u, padding=pad, weight_norm=True, name=f"up_{i}",
+            )
+            if pack_stage:
+                x = up(x, input_pack=P, keep_packed=True)
+                P = max(P, 1) * u
+            else:
+                assert P == 1, "cannot leave packed layout mid-pipeline"
+                x = up(x)
+            ch_cur = ch
             if mask is not None:
                 mask = jnp.repeat(mask, u, axis=1)
-                x = x * mask
-            pack = 1
-            if self.pack_narrow and ch < 128:
-                pack = max(1, 128 // ch)
+                x = packed_mask_mul(x, mask, P, ch)
+            # normalize the packing factor to fill (not overflow) the lanes
+            if P > 1:
+                P_t = max(1, min(P, 128 // ch if ch < 128 else 1))
+                x = repack(x, P, P_t, ch)
+                P = P_t
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                block = res_cls(ch, rk, tuple(rd), pack=pack,
-                                name=f"resblock_{i}_{j}")
-                xs = block(x, mask) if xs is None else xs + block(x, mask)
+                block = res_cls(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")
+                b_out = block(x, mask, input_pack=P)
+                xs = b_out if xs is None else xs + b_out
             x = xs / num_kernels
             if stop_after_stage is not None and i == stop_after_stage:
-                return x
+                return repack(x, P, 1, ch)
 
         x = leaky_relu(x, 0.01)  # final activation uses torch's default slope
         if mask is not None:
-            x = x * mask
-        x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
-        return jnp.tanh(x)
+            x = packed_mask_mul(x, mask, P, ch_cur)
+        x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(
+            x, input_pack=P
+        )
+        x = jnp.tanh(x)
+        return repack(x, P, 1, 1)

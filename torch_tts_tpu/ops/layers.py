@@ -146,7 +146,29 @@ class Conv1d(nn.Module):
         return kernel, fan_in
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, input_pack: int = 1):
+        """input_pack > 1: x is ALREADY space-to-depth packed
+        [B, L/P, P*C_in]; the conv runs in packed layout and returns packed
+        [B, L/P, P*features] (decoder packed tail — same values, no unpacked
+        intermediates). Requires 'same' padding, stride 1, no groups."""
+        if input_pack > 1:
+            in_ch = x.shape[-1] // input_pack
+            kernel, fan_in = self._kernel(in_ch)
+            assert self.stride == 1 and self.groups == 1
+            assert self.padding == (self.kernel_size * self.dilation - self.dilation) // 2, \
+                "input_pack>1 requires 'same' padding"
+            from torch_tts_tpu.ops.packed_conv import packed_conv1d_pre
+
+            bias = None
+            if self.use_bias:
+                binit = (nn.initializers.zeros if self.zero_init
+                         else (self.bias_init or torch_uniform_init(fan_in)))
+                bias = self.param("bias", binit, (self.features,))
+            return packed_conv1d_pre(
+                x, kernel.astype(x.dtype),
+                bias.astype(x.dtype) if bias is not None else None,
+                self.dilation, input_pack,
+            )
         in_ch = x.shape[-1]
         kernel, fan_in = self._kernel(in_ch)
         if self.pack > 1:
@@ -217,8 +239,15 @@ class ConvTranspose1d(nn.Module):
     subpixel: Optional[bool] = None  # None = auto
 
     @nn.compact
-    def __call__(self, x):
-        in_ch = x.shape[-1]
+    def __call__(self, x, input_pack: int = 1, keep_packed: bool = False):
+        """input_pack > 1: x is space-to-depth packed [B, L/P, P*C_in]; the
+        transposed conv runs fully packed and returns a (P*stride)-packed
+        output [B, L/P, P*stride*features]. keep_packed with input_pack == 1
+        returns the natural stride-packed subpixel output [B, L, stride*
+        features] without the final depth-to-space reshape. Both require the
+        subpixel geometry (out_len == in_len*stride)."""
+        packed = input_pack > 1 or keep_packed
+        in_ch = x.shape[-1] // (input_pack if input_pack > 1 else 1)
         k = self.kernel_size
         u = self.stride
         p = self.padding
@@ -237,6 +266,26 @@ class ConvTranspose1d(nn.Module):
             kernel = v * (g.reshape((1, 1, in_ch)) / jnp.maximum(norm, 1e-12))
         else:
             kernel = self.param("kernel", init, shape)
+
+        if packed:
+            assert (k - u - 2 * p) == 0, (
+                "packed ConvTranspose1d requires out_len == in_len*stride "
+                f"(k={k}, stride={u}, padding={p})"
+            )
+            from torch_tts_tpu.ops.packed_conv import (
+                packed_subpixel_transposed_conv,
+            )
+
+            bias = None
+            if self.use_bias:
+                bias = self.param(
+                    "bias", torch_uniform_init(fan_in), (self.features,)
+                )
+            return packed_subpixel_transposed_conv(
+                x, kernel.astype(x.dtype),
+                bias.astype(x.dtype) if bias is not None else None,
+                u, p, max(input_pack, 1),
+            )
 
         use_subpixel = self.subpixel
         if use_subpixel is None:
