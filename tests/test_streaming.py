@@ -200,3 +200,41 @@ def test_streaming_flow_rejects_transformer_flows(rng):
     model, variables = _build(cfg, rng)
     with pytest.raises(ValueError, match="conv-local"):
         StreamingFlowDecoder(model, variables)
+
+
+def test_infer_boundary_patch_equals_masked_decode(rng):
+    """infer's bulk-unmasked + masked-boundary-patch decode
+    (SynthesizerTrn._decode_padded) is numerically identical to the
+    fully-masked decode in the valid region, and zero beyond it — for
+    max_frames beyond the patch window so the patch path actually runs."""
+    cfg = tiny_config()
+    model, variables = _build(cfg, rng)
+    MAX_F = 192  # > _PATCH_WINDOW=128
+    x = jnp.asarray(rng.integers(1, 30, (2, 9)), jnp.int32)
+    xl = jnp.asarray([9, 7], jnp.int32)
+    noise = {"noise": jax.random.PRNGKey(5)}
+    kw = dict(noise_scale=0.667, noise_scale_w=0.8, length_scale=1.0,
+              max_frames=MAX_F)
+
+    audio, _attn, y_mask, aux, y_len = model.apply(
+        variables, x, xl, method=SynthesizerTrn.infer, rngs=noise, **kw
+    )
+    # oracle: same latents through the fully-masked decoder
+    z, g, y_mask2, y_len2 = model.apply(
+        variables, x, xl, method=SynthesizerTrn.infer_latents, rngs=noise, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(y_len), np.asarray(y_len2))
+    want = model.apply(
+        variables, z, y_mask2, g,
+        method=lambda m, zz, mm, gg: m.dec(zz, g=gg, x_mask=mm),
+    )
+    hop = int(audio.shape[1]) // MAX_F
+    got = np.asarray(audio)
+    want = np.asarray(want)
+    for b in range(2):
+        n = int(np.asarray(y_len)[b]) * hop
+        np.testing.assert_allclose(
+            got[b, :n], want[b, :n], atol=2e-5,
+            err_msg=f"item {b}: patched decode != masked decode",
+        )
+        assert np.abs(got[b, n:]).max() == 0.0, "tail must be zeroed"

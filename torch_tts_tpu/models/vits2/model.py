@@ -715,8 +715,64 @@ class SynthesizerTrn(nn.Module):
         eps = jax.random.normal(self.make_rng("noise"), m_p_e.shape, m_p_e.dtype)
         z_p = m_p_e + eps * jnp.exp(logs_p_e) * noise_scale
         z = self.flow(z_p, y_mask, g=g, reverse=True, deterministic=deterministic)
-        o = self.dec(z * y_mask, g=g, x_mask=y_mask)
+        o = self._decode_padded(z * y_mask, y_mask, y_lengths, max_frames, g=g)
         return o, attn, y_mask, (z, z_p, m_p_e, logs_p_e), y_lengths
+
+    _PATCH_WINDOW = 128  # frames; >= 2x the decoder receptive-field half-width
+
+    def _decode_padded(self, zm, y_mask, y_lengths, max_frames, g=None):
+        """Decode padded latents with exact-length semantics, cheaply.
+
+        The reference decodes an exact-length sequence (models.py:1322), so
+        its convs see SAME-padding zeros beyond y_length. On TPU the batch is
+        padded to max_frames; threading a per-layer mask through the decoder
+        reproduces the reference bit-for-bit but was measured to DOUBLE the
+        decoder's cost (24.5 vs 12.0 ms at 1024 frames — masking breaks the
+        conv fusion chains). Instead:
+
+        1. decode the full padded latents UNMASKED — every output more than
+           the receptive field before y_length is unaffected by the padded
+           tail (same clamped-window argument as infer/streaming.py),
+        2. re-decode one small fixed window ending at y_length WITH the
+           per-layer mask, and paste its last W/2 frames over the bulk
+           output (per-item dynamic slices; one executable),
+        3. zero the tail at sample level (the masked decode's tail is zero:
+           conv_post has no bias).
+
+        Valid-region output is numerically identical to the fully-masked
+        decode (tested); cost is dec_unmasked + dec(window) ~= 12 + 3 ms
+        instead of 24.5 ms.
+        """
+        T = max_frames
+        W = self._PATCH_WINDOW
+        if T <= W:
+            return self.dec(zm, g=g, x_mask=y_mask)
+        keep = W // 2
+        o_bulk = self.dec(zm, g=g)
+        f = o_bulk.shape[1] // T  # samples per latent frame
+
+        starts = jnp.clip(y_lengths - W, 0, T - W)  # [B]
+        zwin = jax.vmap(
+            lambda zz, s: jax.lax.dynamic_slice_in_dim(zz, s, W, 0)
+        )(zm, starts)
+        win_valid = y_lengths - starts  # <= W
+        win_mask = (
+            jnp.arange(W)[None, :] < win_valid[:, None]
+        ).astype(zm.dtype)[..., None]
+        o_win = self.dec(zwin * win_mask, g=g, x_mask=win_mask)
+
+        paste_start = jnp.clip(y_lengths - keep, 0, T - keep)  # frames
+        src_off = paste_start - starts  # in [0, W - keep]
+        o_keep = jax.vmap(
+            lambda ow, so: jax.lax.dynamic_slice_in_dim(ow, so * f, keep * f, 0)
+        )(o_win, src_off)
+        o = jax.vmap(
+            lambda ob, ps, ok: jax.lax.dynamic_update_slice_in_dim(
+                ob, ok, ps * f, 0
+            )
+        )(o_bulk, paste_start, o_keep)
+        sample_mask = jnp.repeat(y_mask, f, axis=1)
+        return o * sample_mask
 
     def infer_latents(
         self,
