@@ -185,6 +185,38 @@ def main():
     dec_fn = sub(lambda m, zs: m.dec(zs))
     run("dec", dec_fn, z_slice)
 
+    # --- WN-family fwd+bwd isolation (VERDICT r2 next-#7): what would a
+    # fused WN kernel actually buy inside g_grad? enc_q is WN x16, flow is
+    # 4 couplings x WN x4 — time each one's full param-grad pass alone.
+    def _tree_sum(t):
+        return jax.tree_util.tree_reduce(
+            lambda acc, l: acc + jnp.sum(jnp.abs(l)), t, jnp.zeros(())
+        )
+
+    def encq_loss(p, y, yl):
+        zq = model.apply(
+            {"params": p}, y, yl, deterministic=False, rngs=rngs,
+            method=lambda m, y_, yl_, deterministic: m.enc_q(
+                y_, yl_, deterministic=deterministic
+            )[0],
+        )
+        return jnp.sum(zq**2)
+
+    run("enc_q_g", lambda p: _tree_sum(jax.grad(encq_loss)(p, spec, yl)),
+        variables["params"])
+
+    def flow_loss(p, z_, ym):
+        zf = model.apply(
+            {"params": p}, z_, ym, deterministic=False, rngs=rngs,
+            method=lambda m, zz, mm, deterministic: m.flow(
+                zz, mm, deterministic=deterministic
+            ),
+        )
+        return jnp.sum(zf**2)
+
+    run("flow_g", lambda p: _tree_sum(jax.grad(flow_loss)(p, z, y_mask)),
+        variables["params"])
+
     from torch_tts_tpu.audio import mel as melmod
 
     y_hat = jnp.asarray(

@@ -115,16 +115,27 @@ def train_one(decoder: str, args, cfg0, root):
     # the ground-truth recordings
     a = cfg.audio
     params = jax.device_get(trainer.state.params_g)
+
+    @jax.jit
+    def synth(p, x, xl, key):
+        # jitted: eager per-op dispatch of the iSTFT head's complex math is
+        # not supported on the TPU backend, and jit is ~100x faster anyway
+        return trainer.model.apply(
+            {"params": p}, x, xl,
+            noise_scale=0.667, noise_scale_w=0.8, length_scale=1.0,
+            max_frames=256, method=SynthesizerTrn.infer,
+            rngs={"noise": key},
+        )
+
     msds = []
     for i in range(len(eval_ds)):
         item = eval_ds[i]
         x = jnp.asarray(item["x"][None], jnp.int32)
         xl = jnp.asarray([len(item["x"])], jnp.int32)
-        audio, _attn, _ym, _aux, y_len = trainer.model.apply(
-            {"params": params}, x, xl,
-            noise_scale=0.667, noise_scale_w=0.8, length_scale=1.0,
-            max_frames=256, method=SynthesizerTrn.infer,
-            rngs={"noise": jax.random.PRNGKey(100 + i)},
+        pad = 48 - x.shape[1] % 48 if x.shape[1] % 48 else 0
+        x = jnp.pad(x, ((0, 0), (0, pad)))  # bounded compile variants
+        audio, _attn, _ym, _aux, y_len = synth(
+            params, x, xl, jax.random.PRNGKey(100 + i)
         )
         n = int(np.asarray(y_len)[0]) * a.hop_length
         wav_hat = np.asarray(audio)[0, :n, 0]

@@ -55,17 +55,19 @@ class StreamingDecoder:
 
         @jax.jit
         def _decode_window(variables, zwin, mwin, g):
-            return model.apply(
+            audio = model.apply(
                 variables, zwin, mwin, g,
                 method=lambda m, zz, mm, gg: m.dec(zz, g=gg, x_mask=mm),
             )
+            return audio * jnp.repeat(mwin, audio.shape[1] // zwin.shape[1], 1)
 
         @jax.jit
         def _decode_window_nog(variables, zwin, mwin):
-            return model.apply(
+            audio = model.apply(
                 variables, zwin, mwin,
                 method=lambda m, zz, mm: m.dec(zz, x_mask=mm),
             )
+            return audio * jnp.repeat(mwin, audio.shape[1] // zwin.shape[1], 1)
 
         self._decode = _decode_window
         self._decode_nog = _decode_window_nog
@@ -75,11 +77,12 @@ class StreamingDecoder:
         """z: [B, T, C] latents -> yields [B, chunk*factor, 1] audio chunks.
 
         Concatenated chunks (trimmed to T*factor total samples) equal the
-        monolithic `model.dec(z, x_mask=x_mask)` exactly — pass the y_mask
-        from `infer_latents` to reproduce `SynthesizerTrn.infer`'s masked
-        decode bit-for-bit (masking happens per layer, so the mask window
-        rides along with the latent window). The final chunk is shorter when
-        T is not a multiple of chunk_frames.
+        monolithic `model.dec(z, x_mask=x_mask)` in the valid region, with
+        samples where x_mask == 0 zeroed at sample level — exactly
+        `SynthesizerTrn.infer`'s exact-length semantics (pass the y_mask
+        from `infer_latents`; the mask window rides along with the latent
+        window). The final chunk is shorter when T is not a multiple of
+        chunk_frames.
         """
         B, T, C = z.shape
         if x_mask is None:
@@ -166,7 +169,8 @@ class StreamingFlowDecoder:
 
         def _window(m, zp, mm, gg):
             z = m.flow(zp, mm, g=gg, reverse=True, deterministic=True)
-            return m.dec(z * mm, g=gg, x_mask=mm)
+            audio = m.dec(z * mm, g=gg, x_mask=mm)
+            return audio * jnp.repeat(mm, audio.shape[1] // zp.shape[1], 1)
 
         @jax.jit
         def _decode_window(variables, zpwin, mwin, g):
@@ -186,7 +190,9 @@ class StreamingFlowDecoder:
                y_mask: Optional[jax.Array] = None) -> Iterator[jax.Array]:
         """z_p: [B, T, C] pre-flow latents (SynthesizerTrn.infer_pre_flow)
         -> yields audio chunks; concatenated chunks equal the monolithic
-        `dec(flow(z_p, reverse=True) * y_mask)` numerically (2e-5)."""
+        `dec(flow(z_p, reverse=True) * y_mask)` numerically (2e-5) in the
+        valid region, with mask==0 samples zeroed (infer's exact-length
+        semantics)."""
         B, T, C = z_p.shape
         if y_mask is None:
             y_mask = jnp.ones((B, T, 1), z_p.dtype)

@@ -736,17 +736,27 @@ class SynthesizerTrn(nn.Module):
         2. re-decode one small fixed window ending at y_length WITH the
            per-layer mask, and paste its last W/2 frames over the bulk
            output (per-item dynamic slices; one executable),
-        3. zero the tail at sample level (the masked decode's tail is zero:
-           conv_post has no bias).
+        3. zero the tail at sample level. NOTE the fully-masked decode's
+           tail is NOT quite zero — the final mask multiply happens before
+           conv_post (k=7), so its first 3 tail samples carry bleed from
+           valid taps; exact-length semantics zero them (the reference's
+           unpadded decode has no such samples at all).
 
         Valid-region output is numerically identical to the fully-masked
-        decode (tested); cost is dec_unmasked + dec(window) ~= 12 + 3 ms
-        instead of 24.5 ms.
+        decode and the tail is all-zero regardless of which branch runs
+        (tested); cost is dec_unmasked + dec(window) ~= 12 + 3 ms instead
+        of 24.5 ms.
         """
         T = max_frames
         W = self._PATCH_WINDOW
         if T <= W:
-            return self.dec(zm, g=g, x_mask=y_mask)
+            o = self.dec(zm, g=g, x_mask=y_mask)
+            # same sample-level tail zeroing as the patch path below: the
+            # masked decode still bleeds (k-1)/2 conv_post samples past
+            # y_length (mask is applied before conv_post, not after), and
+            # exact-length semantics must not depend on max_frames.
+            f = o.shape[1] // T
+            return o * jnp.repeat(y_mask, f, axis=1)
         keep = W // 2
         o_bulk = self.dec(zm, g=g)
         f = o_bulk.shape[1] // T  # samples per latent frame

@@ -129,7 +129,12 @@ def inverse_stft(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int) -> jax.
     and normalized by the window-square envelope, then the centering pad of
     n_fft//2 is trimmed from both ends.
     """
-    spec = mag * jnp.exp(1j * phase.astype(jnp.complex64))
+    # polar -> rectangular via cos/sin, NOT mag * exp(1j*phase): a bare
+    # complex exp dispatched eagerly (outside jit) is UNIMPLEMENTED on the
+    # TPU backend, while cos/sin/complex are supported everywhere and XLA
+    # fuses them identically under jit.
+    ph = phase.astype(mag.dtype)
+    spec = jax.lax.complex(mag * jnp.cos(ph), mag * jnp.sin(ph))
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(mag.dtype)
     win = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32), mag.dtype)
     y = overlap_add(frames * win, hop)
