@@ -146,11 +146,26 @@ class Conv1d(nn.Module):
         return kernel, fan_in
 
     @nn.compact
-    def __call__(self, x, input_pack: int = 1):
+    def __call__(self, x, input_pack: int = 1, return_kernel: bool = False):
         """input_pack > 1: x is ALREADY space-to-depth packed
         [B, L/P, P*C_in]; the conv runs in packed layout and returns packed
         [B, L/P, P*features] (decoder packed tail — same values, no unpacked
-        intermediates). Requires 'same' padding, stride 1, no groups."""
+        intermediates). Requires 'same' padding, stride 1, no groups.
+
+        return_kernel: create the SAME params but return the effective
+        (weight/spectral-normed) kernel [k, in, out] and bias instead of
+        running the conv — for fused multi-layer kernels (kernels/
+        wn_stack.py) that consume the weights directly. x is only used for
+        its channel count."""
+        if return_kernel:
+            in_ch = x.shape[-1] // input_pack
+            kernel, fan_in = self._kernel(in_ch)
+            bias = None
+            if self.use_bias:
+                binit = (nn.initializers.zeros if self.zero_init
+                         else (self.bias_init or torch_uniform_init(fan_in)))
+                bias = self.param("bias", binit, (self.features,))
+            return kernel, bias
         if input_pack > 1:
             in_ch = x.shape[-1] // input_pack
             kernel, fan_in = self._kernel(in_ch)
