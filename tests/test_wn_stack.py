@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from torch_tts_tpu.kernels.wn_stack import (
     _stack_ref,
     _wn_group_pallas,
+    _wn_group_pallas_bwd,
     wn_group_ref,
     wn_stack,
 )
@@ -88,6 +89,44 @@ def test_pallas_group_matches_ref(rng, T, tile):
     np.testing.assert_allclose(np.asarray(sk_out * mask),
                                np.asarray(sk_ref * mask),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("T,tile", [(64, 32), (57, 32), (30, 128)])
+def test_pallas_backward_matches_autodiff(rng, T, tile):
+    """Interpret-mode Pallas backward kernel == jax.vjp of the reference:
+    d_x, d_gl, and every weight/bias grad, with ragged tails and a real
+    mask (central-position accumulation must count each frame once)."""
+    B, H, L, k = 2, 8, 3, 5
+    x = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+    mask = (jnp.arange(T)[None, :, None]
+            < jnp.asarray([T, max(1, T - 9)])[:, None, None]).astype(jnp.float32)
+    gl = jnp.asarray(rng.standard_normal((B, L, 2 * H)).astype(np.float32))
+    w_in = jnp.asarray(
+        rng.standard_normal((L, k, H, 2 * H)).astype(np.float32)) * 0.3
+    b_in = jnp.asarray(rng.standard_normal((L, 2 * H)).astype(np.float32)) * 0.1
+    w_rs = jnp.asarray(
+        rng.standard_normal((L, H, 2 * H)).astype(np.float32)) * 0.3
+    b_rs = jnp.asarray(rng.standard_normal((L, 2 * H)).astype(np.float32)) * 0.1
+    d_xo = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+    d_sk = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+
+    _, vjp = jax.vjp(
+        lambda x_, gl_, w1, bb1, w2, bb2: wn_group_ref(
+            x_, mask, gl_, w1, bb1, w2, bb2
+        ),
+        x, gl, w_in, b_in, w_rs, b_rs,
+    )
+    want = vjp((d_xo, d_sk))
+    got = _wn_group_pallas_bwd(x, mask, gl, w_in, b_in, w_rs, b_rs,
+                               d_xo, d_sk, tile=tile, interpret=True)
+    # got: (d_x, d_gl, d_w_in, d_b_in, d_w_rs, d_b_rs); want ordered
+    # (d_x, d_gl, d_w_in, d_b_in, d_w_rs, d_b_rs) by the vjp lambda args
+    names = ["d_x", "d_gl", "d_w_in", "d_b_in", "d_w_rs", "d_b_rs"]
+    for name, a, b in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+            err_msg=name,
+        )
 
 
 def test_wn_stack_gradients_match_autodiff(rng):

@@ -1,4 +1,4 @@
-"""Fused WaveNet (WN) gated dilated-conv stack — whole-stack Pallas kernel.
+"""Fused WaveNet (WN) gated dilated-conv stack — whole-stack Pallas kernels.
 
 The WN block (/root/reference/vits2/modules.py:133-218; ours
 ops/wavenet.py) is n_layers of
@@ -7,32 +7,35 @@ ops/wavenet.py) is n_layers of
     rs   = 1x1(acts);          x = (x + rs[:, :H]) * mask;  skip += rs[:, H:]
 
 XLA executes this as one conv + one matmul per layer with every [T, H]
-intermediate round-tripping HBM (measured ~5x above the FLOP floor at the
-production shape, scripts/bench_breakdown.py). This kernel keeps the
-activations VMEM-resident across a GROUP of layers: the sequence is tiled
-into fixed windows with a 2*L-frame halo, each grid step loads one window
-and runs all L layers on it (the k-tap dilated conv is one [W, k*H] x
-[k*H, 2H] MXU matmul per layer), and only the central `tile` frames are
-written back. Weights for the whole group ride a constant-index BlockSpec,
-so they are fetched into VMEM once for the entire batch, not per tile.
+intermediate round-tripping HBM (measured well above the FLOP floor at the
+production shape, scripts/bench_wn.py). These kernels keep the activations
+VMEM-resident across a GROUP of layers: the sequence is tiled into fixed
+windows with a 2*L-frame halo, each grid step loads one window and runs all
+L layers on it (the k-tap conv is one [W, k*H] x [k*H, 2H] MXU matmul per
+layer), and only the central `tile` frames are written back. Weights ride
+constant-index BlockSpecs, so they are fetched into VMEM once for the whole
+batch, not per tile.
 
-Restrictions (production WN shapes satisfy all of them; ops/wavenet.py
-falls back to the XLA path otherwise): dilation_rate == 1, p_dropout == 0,
-odd kernel_size, speaker conditioning g broadcast over time ([B, 1, gin]).
+The backward is a second Pallas kernel (grid (B, nT)) that rematerializes
+the group's forward inside each tile (no per-layer residuals in HBM) and
+walks the layers in reverse with analytic gradients. Weight/bias/cond
+gradients accumulate across sequential grid steps into constant-index
+output blocks; every sequence position is CENTRAL to exactly one tile, and
+only central positions contribute, so the accumulated sums are exact. The
+conv's input-gradient and weight-gradient are k per-tap MXU dots (no
+transposed weight copies held in VMEM).
 
-Layer-count grouping: VMEM (~16 MB) holds ~4 layers of H=192 weights plus
-the working set, so stacks longer than `group` layers (enc_q has 16) run as
-chained kernel calls; x and the skip accumulator flow chunk to chunk in HBM
-(4 round-trips instead of 16+). The final layer's [H, H] res_skip conv
-(all-skip, no residual) is unified by zero-padding its weight to [H, 2H]:
-the residual half contributes x += 0, exactly the reference's "last layer
-leaves x alone".
+Restrictions (production WN shapes satisfy all; ops/wavenet.py falls back
+to the XLA path otherwise): dilation_rate == 1, inactive dropout, odd
+kernel_size, speaker conditioning broadcast over time ([B, 1, gin]).
 
-Gradients: `wn_stack` is a jax.custom_vjp whose backward re-runs the plain
-jnp reference under jax.vjp (rematerialized — no per-layer residuals are
-stored, mirroring the remat the XLA path would need anyway). The forward
-Pallas kernel and the reference produce the same values (tests), so mixing
-them across fwd/bwd is exact.
+Grouping: VMEM (~16 MB) holds ~4 layers of H=192 weights + grads + working
+set, so stacks longer than `group` layers (enc_q has 16) run as chained
+`wn_group` calls; each group is its own jax.custom_vjp, and JAX chains
+their VJPs, storing only the [B, T, H] inter-group activations. The final
+layer's [H, H] res_skip conv (all-skip, no residual) is unified by
+zero-padding its weight to [H, 2H] in ops/wavenet.py: the residual half
+contributes x += 0, exactly the reference's "last layer leaves x alone".
 """
 
 from __future__ import annotations
@@ -59,7 +62,7 @@ def wn_group_ref(x, mask, gl, w_in, b_in, w_rs, b_rs):
 
     x [B, T, H]; mask [B, T, 1]; gl [B, L, 2H] or None; w_in [L, k, H, 2H];
     b_in [L, 2H]; w_rs [L, H, 2H]; b_rs [L, 2H] ->
-    (x_out [B, T, H], skip [B, T, H]).
+    (x_out [B, T, H], skip [B, T, H] — skip is mask-multiplied).
     """
     L, k = w_in.shape[0], w_in.shape[1]
     H = x.shape[-1]
@@ -76,7 +79,7 @@ def wn_group_ref(x, mask, gl, w_in, b_in, w_rs, b_rs):
         rs = jnp.einsum("bth,hf->btf", acts, w_rs[i]) + b_rs[i]
         x = (x + rs[..., :H]) * mask
         skip = skip + rs[..., H:]
-    return x, skip
+    return x, skip * mask
 
 
 # ---------------------------------------------------------------------------
@@ -84,26 +87,29 @@ def wn_group_ref(x, mask, gl, w_in, b_in, w_rs, b_rs):
 # ---------------------------------------------------------------------------
 
 
-def _wn_kernel(xw_ref, mw_ref, gl_ref, w_in_ref, b_in_ref, w_rs_ref,
-               b_rs_ref, xo_ref, sk_ref, *, L: int, k: int, tile: int):
-    """One window: all L layers, central `tile` frames written back.
+def _shift_taps(x, k, W):
+    """[W, H] -> [W, k*H]: tap t block = x[r + t - pad] (zero beyond)."""
+    H = x.shape[-1]
+    pad = (k - 1) // 2
+    zeros = jnp.zeros((pad, H), x.dtype)
+    xp = jnp.concatenate([zeros, x, zeros], axis=0)  # [W + k - 1, H]
+    return jnp.concatenate([xp[t : t + W] for t in range(k)], axis=1)
 
-    xw_ref [1, 1, W, H] window (W = tile + 2*halo, halo = 2*L);
-    mw_ref [1, 1, W, 1]; gl_ref [1, L, 2H]; w_in_ref [L, k*H, 2H];
-    outputs [1, 1, tile, H].
+
+def _wn_fwd_kernel(xw_ref, mw_ref, gl_ref, w_in_ref, b_in_ref, w_rs_ref,
+                   b_rs_ref, xo_ref, sk_ref, *, L: int, k: int, tile: int):
+    """One window: all L layers forward, central `tile` frames written.
+
+    xw_ref [1, 1, W, H] (W = tile + 2*halo, halo = 2*L); mw_ref [1, 1, W, 1];
+    gl_ref [1, L, 2H]; w_in_ref [L, k*H, 2H]; outputs [1, 1, tile, H].
     """
     x = xw_ref[0, 0]          # [W, H]
     m = mw_ref[0, 0]          # [W, 1]
     W, H = x.shape
-    pad = (k - 1) // 2
     halo = _HALO_PER_LAYER * L
-    zeros = jnp.zeros((pad, H), x.dtype)
     skip = jnp.zeros((W, H), x.dtype)
     for i in range(L):
-        xp = jnp.concatenate([zeros, x, zeros], axis=0)      # [W + k - 1, H]
-        xk = jnp.concatenate(
-            [xp[t : t + W] for t in range(k)], axis=1
-        )                                                     # [W, k*H]
+        xk = _shift_taps(x, k, W)                             # [W, k*H]
         x_in = (
             jnp.dot(xk, w_in_ref[i], preferred_element_type=jnp.float32)
             + b_in_ref[i]
@@ -120,49 +126,39 @@ def _wn_kernel(xw_ref, mw_ref, gl_ref, w_in_ref, b_in_ref, w_rs_ref,
     sk_ref[0, 0] = skip[halo : halo + tile] * m[halo : halo + tile]
 
 
+def _windows(arrs, halo, tile, T):
+    """Pad + materialize overlapping windows [B, nT, W, C] of each array
+    outside the kernel (~(W/tile - 1) extra traffic, buys block-aligned
+    BlockSpecs). Returns ([windows...], nT, W, Tp)."""
+    Tp = -(-T // tile) * tile
+    nT = Tp // tile
+    W = tile + 2 * halo
+    idx = jnp.arange(nT)[:, None] * tile + jnp.arange(W)[None, :]
+    outs = []
+    for a in arrs:
+        az = jnp.pad(a, ((0, 0), (halo, Tp - T + halo), (0, 0)))
+        outs.append(az[:, idx])
+    return outs, nT, W, Tp
+
+
 def _wn_group_pallas(x, mask, gl, w_in, b_in, w_rs, b_rs, *,
                      tile: int = 256, interpret: bool = False):
-    """Pallas dispatch of one L-layer group. Same contract as wn_group_ref.
-
-    NOTE the kernel masks the skip output by the window mask; callers of
-    wn_group_ref get an unmasked skip. WN multiplies the total by the mask
-    at the end anyway, and mask is 0/1, so the results agree wherever the
-    caller applies the final mask (they agree everywhere in practice since
-    x is masked layerwise, making skip zero in the masked region up to the
-    conv halo; the final mask kills that halo in both paths).
-    """
+    """Pallas forward dispatch of one L-layer group; contract of
+    wn_group_ref."""
     B, T, H = x.shape
     L, k = w_in.shape[0], w_in.shape[1]
     halo = _HALO_PER_LAYER * L
     tile = min(tile, max(8, T))
-
-    Tp = -(-T // tile) * tile           # padded length, multiple of tile
-    nT = Tp // tile
-    W = tile + 2 * halo
-
-    xz = jnp.pad(x, ((0, 0), (halo, Tp - T + halo), (0, 0)))
-    mz = jnp.pad(mask, ((0, 0), (halo, Tp - T + halo), (0, 0)))
-    # overlapping windows materialized outside the kernel: ~ (W/tile - 1)
-    # extra x traffic (a few %), which buys block-aligned BlockSpecs and no
-    # manual DMA. [B, nT, W, C]
-    idx = (jnp.arange(nT)[:, None] * tile + jnp.arange(W)[None, :])
-    xw = xz[:, idx]                     # [B, nT, W, H]
-    mw = mz[:, idx]                     # [B, nT, W, 1]
+    (xw, mw), nT, W, Tp = _windows((x, mask), halo, tile, T)
 
     if gl is None:
         gl = jnp.zeros((B, L, 2 * H), x.dtype)
-
     w_in_f = w_in.reshape(L, k * H, 2 * H)
 
-    grid = (B, nT)
-    out_shape = (
-        jax.ShapeDtypeStruct((B, nT, tile, H), x.dtype),
-        jax.ShapeDtypeStruct((B, nT, tile, H), x.dtype),
-    )
-    kernel = functools.partial(_wn_kernel, L=L, k=k, tile=tile)
+    kernel = functools.partial(_wn_fwd_kernel, L=L, k=k, tile=tile)
     xo, sk = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(B, nT),
         in_specs=[
             pl.BlockSpec((1, 1, W, H), lambda b, t: (b, t, 0, 0)),
             pl.BlockSpec((1, 1, W, 1), lambda b, t: (b, t, 0, 0)),
@@ -176,21 +172,284 @@ def _wn_group_pallas(x, mask, gl, w_in, b_in, w_rs, b_rs, *,
             pl.BlockSpec((1, 1, tile, H), lambda b, t: (b, t, 0, 0)),
             pl.BlockSpec((1, 1, tile, H), lambda b, t: (b, t, 0, 0)),
         ),
-        out_shape=out_shape,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nT, tile, H), x.dtype),
+            jax.ShapeDtypeStruct((B, nT, tile, H), x.dtype),
+        ),
         interpret=interpret,
     )(xw, mw, gl, w_in_f, b_in, w_rs, b_rs)
 
-    xo = xo.reshape(B, Tp, H)[:, :T]
-    sk = sk.reshape(B, Tp, H)[:, :T]
-    return xo, sk
+    return (xo.reshape(B, Tp, H)[:, :T], sk.reshape(B, Tp, H)[:, :T])
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp stack: groups of <= `group` layers, Pallas fwd on TPU
+# Pallas backward (rematerializing; analytic layer-reverse walk)
 # ---------------------------------------------------------------------------
 
 
-def _stack_ref(x, mask, gl, w_in, b_in, w_rs, b_rs, group: int):
+def _wn_bwd_kernel(xw_ref, mw_ref, gl_ref, w_in_ref, b_in_ref, w_rs_ref,
+                   b_rs_ref, dxo_ref, dsk_ref,
+                   dx0_ref, dgl_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref,
+                   *, L: int, k: int, tile: int, halo: int):
+    """Backward for one window. Cotangent windows (dxo/dsk) carry the same
+    halo as the input window; weight/bias/cond grads accumulate across grid
+    steps (central-position contributions only — exact, since each position
+    is central to exactly one tile).
+
+    halo must be 2 * _HALO_PER_LAYER * L (twice the forward's): the
+    rematerialized forward is garbage within 2j frames of the window edge at
+    layer j, and the reverse walk consumes ANOTHER 2 frames per layer of
+    exact upstream values, so exact d_x0 at a central position needs 4L
+    frames of distance from the window edge (2L is enough for the forward
+    alone — verified by the multi-tile bwd parity test failing at 2L).
+    """
+    b_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    first = jnp.logical_and(b_idx == 0, t_idx == 0)
+
+    x = xw_ref[0, 0]          # [W, H]
+    m = mw_ref[0, 0]          # [W, 1]
+    W, H = x.shape
+    pad = (k - 1) // 2
+    central = jnp.logical_and(
+        jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0) >= halo,
+        jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0) < halo + tile,
+    ).astype(x.dtype)                                        # [W, 1]
+
+    # --- rematerialized forward: keep per-layer inputs and raw gate sums
+    xs = []       # x entering layer i, [W, H]
+    xins = []     # x_in (post bias/cond) for layer i, [W, 2H]
+    for i in range(L):
+        xs.append(x)
+        xk = _shift_taps(x, k, W)
+        x_in = (
+            jnp.dot(xk, w_in_ref[i], preferred_element_type=jnp.float32)
+            + b_in_ref[i]
+            + gl_ref[0, i]
+        )
+        xins.append(x_in)
+        acts = jnp.tanh(x_in[:, :H]) * jax.nn.sigmoid(x_in[:, H:])
+        rs = (
+            jnp.dot(acts, w_rs_ref[i], preferred_element_type=jnp.float32)
+            + b_rs_ref[i]
+        )
+        x = (x + rs[:, :H]) * m
+
+    # --- init accumulators on the first grid step
+    @pl.when(first)
+    def _init():
+        dwin_ref[...] = jnp.zeros(dwin_ref.shape, dwin_ref.dtype)
+        dbin_ref[...] = jnp.zeros(dbin_ref.shape, dbin_ref.dtype)
+        dwrs_ref[...] = jnp.zeros(dwrs_ref.shape, dwrs_ref.dtype)
+        dbrs_ref[...] = jnp.zeros(dbrs_ref.shape, dbrs_ref.dtype)
+
+    @pl.when(t_idx == 0)
+    def _init_gl():
+        dgl_ref[...] = jnp.zeros(dgl_ref.shape, dgl_ref.dtype)
+
+    def _cdot(a, b):
+        # [W, F1]^T @ [W, F2] -> [F1, F2], contracting the sublane dim
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # --- reverse walk
+    d_x = dxo_ref[0, 0]                       # cotangent wrt x_L, [W, H]
+    d_skip = dsk_ref[0, 0] * m                # skip output was masked, [W, H]
+    d_bins = [None] * L
+    d_brss = [None] * L
+    for i in range(L - 1, -1, -1):
+        x_in = xins[i]
+        t = jnp.tanh(x_in[:, :H])
+        s = jax.nn.sigmoid(x_in[:, H:])
+        acts = t * s
+
+        d_masked = d_x * m                    # through the (.)*m update
+        d_rs = jnp.concatenate([d_masked, d_skip], axis=1)   # [W, 2H]
+        d_rs_c = d_rs * central
+
+        # rs = acts @ w_rs + b_rs  (one-side central masking is exact)
+        dwrs_ref[i] += _cdot(acts, d_rs_c)
+        d_brss[i] = jnp.sum(d_rs_c, axis=0)                   # [2H]
+        d_acts = jax.lax.dot_general(
+            d_rs, w_rs_ref[i],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # [W, H]
+
+        d_a = d_acts * s * (1.0 - t * t)
+        d_b = d_acts * t * s * (1.0 - s)
+        d_xin = jnp.concatenate([d_a, d_b], axis=1)           # [W, 2H]
+        d_xin_c = d_xin * central
+
+        d_bins[i] = jnp.sum(d_xin_c, axis=0)                  # [2H]
+
+        # conv grads, per tap (w_in_ref[i] rows [tau*H:(tau+1)*H] = tap tau)
+        x_i = xs[i]
+        zeros_h = jnp.zeros((pad, H), x.dtype)
+        xp = jnp.concatenate([zeros_h, x_i, zeros_h], axis=0)     # [W+k-1, H]
+        zeros_f = jnp.zeros((pad, 2 * H), x.dtype)
+        dp = jnp.concatenate([zeros_f, d_xin, zeros_f], axis=0)   # [W+k-1, 2H]
+        d_x_new = d_masked                    # residual passthrough
+        for tau in range(k):
+            w_tau = w_in_ref[i][tau * H : (tau + 1) * H]          # [H, 2H]
+            # dW[tau] += sum_p x[p + tau - pad] (x) d_xin[p], central p
+            dwin_ref[i, tau * H : (tau + 1) * H] += _cdot(
+                xp[tau : tau + W], d_xin_c
+            )
+            # d_x[q] += sum_tau d_xin[q + pad - tau] . w[tau]^T
+            d_x_new = d_x_new + jax.lax.dot_general(
+                dp[k - 1 - tau : k - 1 - tau + W], w_tau,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        d_x = d_x_new
+
+    # bias/conditioning grads accumulated as whole [L, 2H] blocks (b_in and
+    # gl enter x_in additively, so they share the per-layer sums; dgl
+    # accumulates per batch item — its block index is b)
+    d_bins = jnp.stack(d_bins)                                # [L, 2H]
+    dbin_ref[...] += d_bins
+    dgl_ref[0] += d_bins
+    dbrs_ref[...] += jnp.stack(d_brss)
+    dx0_ref[0, 0] = d_x[halo : halo + tile]
+
+
+def _wn_group_pallas_bwd(x, mask, gl, w_in, b_in, w_rs, b_rs, d_xo, d_sk, *,
+                         tile: int = 128, interpret: bool = False):
+    """Pallas backward dispatch. Returns (d_x, d_gl, d_w_in, d_b_in,
+    d_w_rs, d_b_rs). d_gl is [B, L, 2H] even when gl was None (caller
+    drops it)."""
+    B, T, H = x.shape
+    L, k = w_in.shape[0], w_in.shape[1]
+    halo = 2 * _HALO_PER_LAYER * L  # 4L: see _wn_bwd_kernel docstring
+    tile = min(tile, max(8, T))
+    (xw, mw, dxo_w, dsk_w), nT, W, Tp = _windows(
+        (x, mask, d_xo, d_sk), halo, tile, T
+    )
+
+    if gl is None:
+        gl = jnp.zeros((B, L, 2 * H), x.dtype)
+    w_in_f = w_in.reshape(L, k * H, 2 * H)
+
+    kernel = functools.partial(_wn_bwd_kernel, L=L, k=k, tile=tile,
+                               halo=halo)
+    dx0, dgl, dwin, dbin, dwrs, dbrs = pl.pallas_call(
+        kernel,
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((1, 1, W, H), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, W, 1), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, L, 2 * H), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((L, k * H, 2 * H), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((L, 2 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((L, H, 2 * H), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((L, 2 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, 1, W, H), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, W, H), lambda b, t: (b, t, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, tile, H), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, L, 2 * H), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((L, k * H, 2 * H), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((L, 2 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((L, H, 2 * H), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((L, 2 * H), lambda b, t: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nT, tile, H), x.dtype),
+            jax.ShapeDtypeStruct((B, L, 2 * H), x.dtype),
+            jax.ShapeDtypeStruct((L, k * H, 2 * H), x.dtype),
+            jax.ShapeDtypeStruct((L, 2 * H), x.dtype),
+            jax.ShapeDtypeStruct((L, H, 2 * H), x.dtype),
+            jax.ShapeDtypeStruct((L, 2 * H), x.dtype),
+        ),
+        interpret=interpret,
+    )(xw, mw, gl, w_in_f, b_in, w_rs, b_rs, dxo_w, dsk_w)
+
+    d_x = dx0.reshape(B, Tp, H)[:, :T]
+    d_w_in = dwin.reshape(L, k, H, 2 * H)
+    return d_x, dgl, d_w_in, dbin, dwrs, dbrs
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp group op; stacks are plain chains of groups
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def wn_group(x, mask, gl, w_in, b_in, w_rs, b_rs):
+    """One WN layer-group -> (x_out, skip*mask). Pallas on TPU, jnp ref
+    elsewhere. gl may be None (no speaker conditioning)."""
+    if jax.default_backend() == "tpu":
+        return _wn_group_pallas(x, mask, gl, w_in, b_in, w_rs, b_rs)
+    return wn_group_ref(x, mask, gl, w_in, b_in, w_rs, b_rs)
+
+
+def _wn_group_fwd(x, mask, gl, w_in, b_in, w_rs, b_rs):
+    out = wn_group(x, mask, gl, w_in, b_in, w_rs, b_rs)
+    return out, (x, mask, gl, w_in, b_in, w_rs, b_rs)
+
+
+def _wn_group_bwd(res, cts):
+    x, mask, gl, w_in, b_in, w_rs, b_rs = res
+    d_xo, d_sk = cts
+    if jax.default_backend() == "tpu":
+        d_x, d_gl, d_w_in, d_b_in, d_w_rs, d_b_rs = _wn_group_pallas_bwd(
+            x, mask, gl, w_in, b_in, w_rs, b_rs, d_xo, d_sk
+        )
+        if gl is None:
+            d_gl = None
+        return d_x, None, d_gl, d_w_in, d_b_in, d_w_rs, d_b_rs
+    # off-TPU: exact autodiff of the reference
+    if gl is None:
+        _, vjp = jax.vjp(
+            lambda x_, w1, bb1, w2, bb2: wn_group_ref(
+                x_, mask, None, w1, bb1, w2, bb2
+            ),
+            x, w_in, b_in, w_rs, b_rs,
+        )
+        d_x, d_w_in, d_b_in, d_w_rs, d_b_rs = vjp((d_xo, d_sk))
+        d_gl = None
+    else:
+        _, vjp = jax.vjp(
+            lambda x_, gl_, w1, bb1, w2, bb2: wn_group_ref(
+                x_, mask, gl_, w1, bb1, w2, bb2
+            ),
+            x, gl, w_in, b_in, w_rs, b_rs,
+        )
+        d_x, d_gl, d_w_in, d_b_in, d_w_rs, d_b_rs = vjp((d_xo, d_sk))
+    return d_x, None, d_gl, d_w_in, d_b_in, d_w_rs, d_b_rs
+
+
+wn_group.defvjp(_wn_group_fwd, _wn_group_bwd)
+
+
+def wn_stack(x, mask, gl, w_in, b_in, w_rs, b_rs, group: int = 4):
+    """Full WN stack -> output [B, T, H] (the `output * x_mask` of WN).
+
+    x [B, T, H]; mask [B, T, 1] (0/1); gl [B, L, 2H] per-layer speaker
+    conditioning or None; w_in [L, k, H, 2H] effective (weight-normed) conv
+    kernels; b_in [L, 2H]; w_rs [L, H, 2H] res/skip 1x1 kernels with the
+    FINAL layer zero-padded in its residual half; b_rs [L, 2H] likewise.
+
+    Chains custom_vjp groups of <= `group` layers; JAX stores only the
+    [B, T, H] inter-group x between fwd and bwd.
+    """
+    L = w_in.shape[0]
+    skip = jnp.zeros_like(x)
+    for s in range(0, L, group):
+        e = min(s + group, L)
+        gls = None if gl is None else gl[:, s:e]
+        x, sk = wn_group(x, mask, gls, w_in[s:e], b_in[s:e],
+                         w_rs[s:e], b_rs[s:e])
+        skip = skip + sk
+    return skip
+
+
+# retained for tests / diagnostics
+def _stack_ref(x, mask, gl, w_in, b_in, w_rs, b_rs, group: int = 4):
     L = w_in.shape[0]
     skip = jnp.zeros_like(x)
     for s in range(0, L, group):
@@ -199,67 +458,4 @@ def _stack_ref(x, mask, gl, w_in, b_in, w_rs, b_rs, group: int):
         x, sk = wn_group_ref(x, mask, gls, w_in[s:e], b_in[s:e],
                              w_rs[s:e], b_rs[s:e])
         skip = skip + sk
-    return skip * mask
-
-
-def _stack_pallas(x, mask, gl, w_in, b_in, w_rs, b_rs, group: int,
-                  tile: int, interpret: bool):
-    L = w_in.shape[0]
-    skip = jnp.zeros_like(x)
-    for s in range(0, L, group):
-        e = min(s + group, L)
-        gls = None if gl is None else gl[:, s:e]
-        x, sk = _wn_group_pallas(
-            x, mask, gls, w_in[s:e], b_in[s:e], w_rs[s:e], b_rs[s:e],
-            tile=tile, interpret=interpret,
-        )
-        skip = skip + sk
-    return skip * mask
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def wn_stack(x, mask, gl, w_in, b_in, w_rs, b_rs, group: int = 4,
-             tile: int = 256):
-    """Full WN stack -> output [B, T, H] (the `output * x_mask` of WN).
-
-    x [B, T, H]; mask [B, T, 1] (0/1); gl [B, L, 2H] per-layer speaker
-    conditioning or None; w_in [L, k, H, 2H] effective (weight-normed) conv
-    kernels; b_in [L, 2H]; w_rs [L, H, 2H] res/skip 1x1 kernels with the
-    FINAL layer zero-padded in its residual half; b_rs [L, 2H] likewise.
-    """
-    if jax.default_backend() == "tpu":
-        return _stack_pallas(x, mask, gl, w_in, b_in, w_rs, b_rs, group,
-                             tile, False)
-    return _stack_ref(x, mask, gl, w_in, b_in, w_rs, b_rs, group)
-
-
-def _wn_stack_fwd(x, mask, gl, w_in, b_in, w_rs, b_rs, group, tile):
-    out = wn_stack(x, mask, gl, w_in, b_in, w_rs, b_rs, group, tile)
-    return out, (x, mask, gl, w_in, b_in, w_rs, b_rs)
-
-
-def _wn_stack_bwd(group, tile, res, d_out):
-    x, mask, gl, w_in, b_in, w_rs, b_rs = res
-    # rematerialized backward through the jnp reference: exact same math as
-    # the Pallas forward, so cross-path gradients are consistent.
-    if gl is None:
-        _, vjp = jax.vjp(
-            lambda x_, w1, bb1, w2, bb2: _stack_ref(
-                x_, mask, None, w1, bb1, w2, bb2, group
-            ),
-            x, w_in, b_in, w_rs, b_rs,
-        )
-        d_x, d_w_in, d_b_in, d_w_rs, d_b_rs = vjp(d_out)
-        d_gl = None
-    else:
-        _, vjp = jax.vjp(
-            lambda x_, gl_, w1, bb1, w2, bb2: _stack_ref(
-                x_, mask, gl_, w1, bb1, w2, bb2, group
-            ),
-            x, gl, w_in, b_in, w_rs, b_rs,
-        )
-        d_x, d_gl, d_w_in, d_b_in, d_w_rs, d_b_rs = vjp(d_out)
-    return d_x, None, d_gl, d_w_in, d_b_in, d_w_rs, d_b_rs
-
-
-wn_stack.defvjp(_wn_stack_fwd, _wn_stack_bwd)
+    return skip
