@@ -11,8 +11,9 @@ intermediate round-tripping HBM (measured well above the FLOP floor at the
 production shape, scripts/bench_wn.py). These kernels keep the activations
 VMEM-resident across a GROUP of layers: the sequence is tiled into fixed
 windows with a 2*L-frame halo, each grid step loads one window and runs all
-L layers on it (the k-tap conv is one [W, k*H] x [k*H, 2H] MXU matmul per
-layer), and only the central `tile` frames are written back. Weights ride
+L layers on it (the k-tap conv is k per-tap [W, H] x [H, 2H] MXU dots per
+layer — Mosaic cannot lane-concat shifted slices), and only the central
+`tile` frames are written back. Weights ride
 constant-index BlockSpecs, so they are fetched into VMEM once for the whole
 batch, not per tile.
 
@@ -87,13 +88,25 @@ def wn_group_ref(x, mask, gl, w_in, b_in, w_rs, b_rs):
 # ---------------------------------------------------------------------------
 
 
-def _shift_taps(x, k, W):
-    """[W, H] -> [W, k*H]: tap t block = x[r + t - pad] (zero beyond)."""
-    H = x.shape[-1]
+def _conv_taps(x, w_in_l, k, W, H):
+    """SAME conv as k per-tap MXU dots: sum_t x[r + t - pad] @ w[t].
+
+    x [W, H]; w_in_l [k*H, 2H] (tap-major rows). A single [W, k*H] x
+    [k*H, 2H] dot would be fewer MXU calls, but Mosaic cannot lane-concat
+    the k shifted slices (their sublane offsets differ: "result/input
+    offset mismatch on non-concat dimension"), so per-tap dots it is.
+    """
     pad = (k - 1) // 2
     zeros = jnp.zeros((pad, H), x.dtype)
     xp = jnp.concatenate([zeros, x, zeros], axis=0)  # [W + k - 1, H]
-    return jnp.concatenate([xp[t : t + W] for t in range(k)], axis=1)
+    acc = None
+    for t in range(k):
+        part = jnp.dot(
+            xp[t : t + W], w_in_l[t * H : (t + 1) * H],
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    return acc
 
 
 def _wn_fwd_kernel(xw_ref, mw_ref, gl_ref, w_in_ref, b_in_ref, w_rs_ref,
@@ -109,9 +122,8 @@ def _wn_fwd_kernel(xw_ref, mw_ref, gl_ref, w_in_ref, b_in_ref, w_rs_ref,
     halo = _HALO_PER_LAYER * L
     skip = jnp.zeros((W, H), x.dtype)
     for i in range(L):
-        xk = _shift_taps(x, k, W)                             # [W, k*H]
         x_in = (
-            jnp.dot(xk, w_in_ref[i], preferred_element_type=jnp.float32)
+            _conv_taps(x, w_in_ref[i], k, W, H)
             + b_in_ref[i]
             + gl_ref[0, i]
         )                                                     # [W, 2H]
@@ -221,9 +233,8 @@ def _wn_bwd_kernel(xw_ref, mw_ref, gl_ref, w_in_ref, b_in_ref, w_rs_ref,
     xins = []     # x_in (post bias/cond) for layer i, [W, 2H]
     for i in range(L):
         xs.append(x)
-        xk = _shift_taps(x, k, W)
         x_in = (
-            jnp.dot(xk, w_in_ref[i], preferred_element_type=jnp.float32)
+            _conv_taps(x, w_in_ref[i], k, W, H)
             + b_in_ref[i]
             + gl_ref[0, i]
         )
