@@ -58,7 +58,20 @@ class WN(nn.Module):
                 2 * h * self.n_layers, 1, weight_norm=True, name="cond_layer"
             )(g)
 
-        fused = self.fused if self.fused is not None else fused_wn_default()
+        if self.fused is not None:
+            fused = self.fused
+        else:
+            # Env default is shape-aware: the kernel is only a measured win
+            # for single-group stacks (n_layers <= wn_stack's group of 4 —
+            # chained groups pay inter-group HBM round-trips) at batch >= 2
+            # (B=1 infer: 2.66 vs 2.25 ms XLA). flow-shaped L=4/B=8 train
+            # grad: 2.96 vs 4.85 ms (scripts/bench_wn.py). Explicit
+            # fused=True forces the kernel regardless.
+            fused = (
+                fused_wn_default()
+                and self.n_layers <= 4
+                and x.shape[0] >= 2
+            )
         use_fused = (
             fused
             and self.dilation_rate == 1
