@@ -32,6 +32,7 @@ from torch_tts_tpu.models.vits2 import (
 from torch_tts_tpu.parallel import make_mesh, replicate, shard_batch
 from torch_tts_tpu.text import symbols
 from torch_tts_tpu.train import checkpoint as ckpt
+from torch_tts_tpu.train.async_checkpoint import AsyncCheckpointer
 from torch_tts_tpu.train.vits2_train import create_train_state, make_train_step
 from torch_tts_tpu.utils import logging_utils as lu
 
@@ -72,9 +73,16 @@ class VITS2Trainer:
         eval_max_frames: int = 1000,
         use_native_loader: bool = False,
         native_workers: int = 4,
+        async_ckpt: Optional[str] = "thread",
     ):
         self.eval_max_frames = eval_max_frames
         self.use_native_loader = use_native_loader
+        # async_ckpt: "thread" (default — background msgpack writer, same
+        # on-disk format), "orbax" (collective multi-host sharded saves), or
+        # None (round-2 synchronous saver). See train/async_checkpoint.py.
+        self.ckpt = (
+            AsyncCheckpointer(async_ckpt) if async_ckpt is not None else None
+        )
         self.native_workers = native_workers
         self._native_batchers = {}
         self.cfg = cfg
@@ -127,10 +135,16 @@ class VITS2Trainer:
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
 
-        latest = ckpt.latest_checkpoint(model_dir)
-        if latest:
-            logger.info("Resuming from %s", latest)
-            self.state = ckpt.restore_checkpoint(latest, self.state)
+        if self.ckpt is not None and self.ckpt.backend == "orbax":
+            step0 = self.ckpt.latest_step(model_dir)
+            if step0 is not None:
+                logger.info("Resuming from orbax step %d", step0)
+                self.state = self.ckpt.restore(model_dir, self.state)
+        else:
+            latest = ckpt.latest_checkpoint(model_dir)
+            if latest:
+                logger.info("Resuming from %s", latest)
+                self.state = ckpt.restore_checkpoint(latest, self.state)
 
         self.rng = jax.random.PRNGKey(cfg.train.seed)
         self._eval_step = None  # jitted lazily on first evaluate()
@@ -240,11 +254,9 @@ class VITS2Trainer:
                             int(skipped), cfg.train.log_interval,
                         )
                     if skipped >= cfg.train.log_interval:
-                        if self.is_lead:
-                            ckpt.save_checkpoint(
-                                self.model_dir, step, self.state,
-                                keep=cfg.train.keep_ckpts,
-                            )
+                        self._save(step)
+                        if self.ckpt is not None:
+                            self.ckpt.wait()
                         raise FloatingPointError(
                             "every step in the last log window had a "
                             "non-finite loss; state saved"
@@ -253,12 +265,30 @@ class VITS2Trainer:
                         lu.summarize(self.writer, step, scalars=m)
                     logger.info("step %d: %s", step,
                                 {k: round(v, 4) for k, v in m.items()})
-                if step % cfg.train.eval_interval == 0 and self.is_lead:
-                    self.evaluate(step)
-                    ckpt.save_checkpoint(
-                        self.model_dir, step, self.state, keep=cfg.train.keep_ckpts
-                    )
+                if step % cfg.train.eval_interval == 0:
+                    if self.is_lead:
+                        self.evaluate(step)
+                    self._save(step)
             logger.info("==== epoch %d done (step %d)", epoch, step)
+        if self.ckpt is not None:
+            # final barrier: the last checkpoint is durably on disk before
+            # train() returns (async writes must not outlive the process)
+            self.ckpt.wait()
+
+    def _save(self, step: int) -> None:
+        """Checkpoint dispatch: orbax saves are COLLECTIVE (every process
+        calls — each writes its addressable shards); thread/sync saves are
+        lead-gated like the reference's rank-0 writer."""
+        keep = self.cfg.train.keep_ckpts
+        if self.ckpt is not None and self.ckpt.backend == "orbax":
+            self.ckpt.save(self.model_dir, step, self.state, keep=keep)
+        elif self.is_lead:
+            if self.ckpt is not None:
+                self.ckpt.save(self.model_dir, step, self.state, keep=keep)
+            else:
+                ckpt.save_checkpoint(
+                    self.model_dir, step, self.state, keep=keep
+                )
 
     def evaluate(self, step: int) -> None:
         if self.eval_dataset is None or len(self.eval_dataset) == 0:
