@@ -76,6 +76,10 @@ class VITS2ModelConfig:
     # TPU perf: space-to-depth packing of the HiFi-GAN tail (exact-equivalent
     # outputs; see ops/packed_conv.py)
     pack_narrow_convs: bool = False
+    # int8 W8A8 dynamic-quant INFERENCE on the decoder's wide conv stages
+    # (approximate — quality gated in BASELINE.md; never used in training;
+    # ops/quant.py)
+    quantize_decoder: bool = False
     # decoder family: "hifigan" (reference parity) or "mb_istft" (beyond
     # parity: the MB-iSTFT-VITS lightweight decoder, ops/mb_istft.py — the
     # conv trunk stops at prod(upsample_rates) and an iSTFT head + fixed

@@ -566,6 +566,7 @@ class SynthesizerTrn(nn.Module):
                 istft_n_fft=c.gen_istft_n_fft,
                 istft_hop=c.gen_istft_hop_size,
                 gin_channels=c.gin_channels,
+                quant_int8=getattr(c, "quantize_decoder", False),
             )
         else:
             self.dec = Generator(
@@ -577,6 +578,7 @@ class SynthesizerTrn(nn.Module):
                 upsample_kernel_sizes=tuple(c.upsample_kernel_sizes),
                 gin_channels=c.gin_channels,
                 pack_narrow=getattr(c, "pack_narrow_convs", False),
+                quant_int8=getattr(c, "quantize_decoder", False),
             )
         self.enc_q = PosteriorEncoder(
             c.inter_channels, c.hidden_channels, 5, 1, 16, gin_channels=c.gin_channels

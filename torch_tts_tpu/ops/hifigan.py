@@ -31,6 +31,7 @@ class ResBlock1(nn.Module):
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
     pack: int = 1  # per-conv space-to-depth factor (exact equiv; legacy path)
+    quant: Optional[str] = None  # "int8" W8A8 inference (unpacked path only)
 
     @nn.compact
     def __call__(self, x, x_mask=None, input_pack: int = 1):
@@ -49,6 +50,7 @@ class ResBlock1(nn.Module):
                 dilation=d,
                 weight_norm=True,
                 pack=self.pack,
+                quant=self.quant,
                 name=f"conv1_{j}",
             )(xt, input_pack=input_pack)
             xt = mul(leaky_relu(xt))
@@ -58,6 +60,7 @@ class ResBlock1(nn.Module):
                 padding=_get_padding(self.kernel_size, 1),
                 weight_norm=True,
                 pack=self.pack,
+                quant=self.quant,
                 name=f"conv2_{j}",
             )(xt, input_pack=input_pack)
             x = xt + x
@@ -69,6 +72,7 @@ class ResBlock2(nn.Module):
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3)
     pack: int = 1
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, x_mask=None, input_pack: int = 1):
@@ -83,6 +87,7 @@ class ResBlock2(nn.Module):
                 dilation=d,
                 weight_norm=True,
                 pack=self.pack,
+                quant=self.quant,
                 name=f"conv_{j}",
             )(xt, input_pack=input_pack)
             x = xt + x
@@ -101,6 +106,12 @@ class Generator(nn.Module):
     gin_channels: int = 0
     # pack narrow late stages (C < 128) into full lanes; exact-equivalent
     pack_narrow: bool = False
+    # int8 W8A8 dynamic-quant INFERENCE on the wide unpacked stages
+    # (conv_pre, wide upsamples, wide-stage resblocks — where the FLOPs
+    # are); the packed narrow tail stays fp (bandwidth-bound, at its bytes
+    # floor). Approximate (quality gated in BASELINE.md) — never for
+    # training. ops/quant.py.
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, g: Optional[jnp.ndarray] = None,
@@ -122,9 +133,11 @@ class Generator(nn.Module):
         num_kernels = len(self.resblock_kernel_sizes)
         res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
 
+        q8 = "int8" if self.quant_int8 else None
         if x_mask is not None:
             x = x * x_mask
-        x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
+        x = Conv1d(self.upsample_initial_channel, 7, padding=3, quant=q8,
+                   name="conv_pre")(x)
         if g is not None:
             x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
         if x_mask is not None:
@@ -154,7 +167,8 @@ class Generator(nn.Module):
                 self.pack_narrow and ch < 128 and (k - u - 2 * pad) == 0
             )
             up = ConvTranspose1d(
-                ch, k, stride=u, padding=pad, weight_norm=True, name=f"up_{i}",
+                ch, k, stride=u, padding=pad, weight_norm=True,
+                quant=None if pack_stage else q8, name=f"up_{i}",
             )
             if pack_stage:
                 x = up(x, input_pack=P, keep_packed=True)
@@ -175,7 +189,9 @@ class Generator(nn.Module):
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                block = res_cls(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")
+                block = res_cls(ch, rk, tuple(rd),
+                                quant=None if P > 1 else q8,
+                                name=f"resblock_{i}_{j}")
                 b_out = block(x, mask, input_pack=P)
                 xs = b_out if xs is None else xs + b_out
             x = xs / num_kernels

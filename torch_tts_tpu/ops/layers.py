@@ -118,6 +118,10 @@ class Conv1d(nn.Module):
     # same conv on [L/P, P*C] tensors to fill the 128-wide lanes when C is
     # narrow. Requires 'same' padding, stride 1, no groups, L % pack == 0.
     pack: int = 1
+    # "int8": W8A8 dynamic-quant inference (ops/quant.py). Standard
+    # (unpacked, ungrouped) path only; params unchanged (weight quant
+    # constant-folds under jit).
+    quant: Optional[str] = None
 
     def _kernel(self, in_ch: int):
         k = self.kernel_size
@@ -205,6 +209,19 @@ class Conv1d(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = (pad, pad)
+        if self.quant == "int8":
+            assert self.groups == 1, "int8 path has no grouped-conv support"
+            from torch_tts_tpu.ops.quant import int8_conv1d
+
+            bias = None
+            if self.use_bias:
+                binit = (nn.initializers.zeros if self.zero_init
+                         else (self.bias_init or torch_uniform_init(fan_in)))
+                bias = self.param("bias", binit, (self.features,))
+            return int8_conv1d(
+                x, kernel, bias,
+                stride=self.stride, padding=pad, dilation=self.dilation,
+            )
         y = jax.lax.conv_general_dilated(
             x,
             kernel.astype(x.dtype),
@@ -252,6 +269,9 @@ class ConvTranspose1d(nn.Module):
     use_bias: bool = True
     weight_norm: bool = False
     subpixel: Optional[bool] = None  # None = auto
+    # "int8": W8A8 dynamic-quant inference on the subpixel path (the dense
+    # stride-1 conv carries all the FLOPs); dilated fallback stays fp.
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, input_pack: int = 1, keep_packed: bool = False):
@@ -348,13 +368,20 @@ class ConvTranspose1d(nn.Module):
         KG = jnp.where(jnp.asarray(valid)[..., None, None], KG, 0.0)
         # -> WIO with feature blocks ordered [phase, out]
         DK = jnp.transpose(KG, (0, 3, 1, 2)).reshape(W_len, in_ch, u * C_out)
-        y = jax.lax.conv_general_dilated(
-            x,
-            DK.astype(x.dtype),
-            window_strides=(1,),
-            padding=[(q_max, -q_min)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        if self.quant == "int8":
+            from torch_tts_tpu.ops.quant import int8_conv1d
+
+            # per-channel scales live on the u*C_out dense axis, so every
+            # (phase, out) pair gets its own scale — finer than per-out
+            y = int8_conv1d(x, DK, None, padding=(q_max, -q_min))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                DK.astype(x.dtype),
+                window_strides=(1,),
+                padding=[(q_max, -q_min)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
         return y.reshape(B, T * u, C_out)
 
 

@@ -185,15 +185,20 @@ class MultiBandISTFTGenerator(nn.Module):
     istft_n_fft: int = 16
     istft_hop: int = 4
     gin_channels: int = 0
+    # int8 W8A8 dynamic-quant inference on the conv trunk (ops/quant.py);
+    # the iSTFT/PQMF head stays fp (FFT work, quality-sensitive)
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, g: Optional[jnp.ndarray] = None,
                  x_mask: Optional[jnp.ndarray] = None):
         num_kernels = len(self.resblock_kernel_sizes)
         res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
+        q8 = "int8" if self.quant_int8 else None
         if x_mask is not None:
             x = x * x_mask
-        x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
+        x = Conv1d(self.upsample_initial_channel, 7, padding=3, quant=q8,
+                   name="conv_pre")(x)
         if g is not None:
             x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
 
@@ -205,7 +210,7 @@ class MultiBandISTFTGenerator(nn.Module):
                 x = x * mask
             x = ConvTranspose1d(
                 ch, k, stride=u, padding=(k - u) // 2, weight_norm=True,
-                name=f"up_{i}",
+                quant=q8, name=f"up_{i}",
             )(x)
             if mask is not None:
                 mask = jnp.repeat(mask, u, axis=1)
@@ -214,7 +219,8 @@ class MultiBandISTFTGenerator(nn.Module):
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                block = res_cls(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")
+                block = res_cls(ch, rk, tuple(rd), quant=q8,
+                                name=f"resblock_{i}_{j}")
                 xs = block(x, mask) if xs is None else xs + block(x, mask)
             x = xs / num_kernels
 
