@@ -49,6 +49,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-pack", action="store_true",
                     help="disable pack_narrow_convs")
+    ap.add_argument("--fuse-mrf", action="store_true",
+                    help="fused MRF Pallas kernel on the unpacked C<=128 "
+                         "resblock banks (kernels/mrf_fused.py)")
     ap.add_argument("--chain", type=int, default=20)
     args = ap.parse_args()
 
@@ -64,7 +67,8 @@ def main():
     cfg = VITS2Config()
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(
-            cfg.model, pack_narrow_convs=not args.no_pack
+            cfg.model, pack_narrow_convs=not args.no_pack,
+            fuse_mrf=args.fuse_mrf,
         )
     )
     model = SynthesizerTrn(

@@ -75,14 +75,15 @@ def main():
     )["params"]
     synth = Synthesizer(cfg, params)
 
-    # warm every (bucket x tier) executable the workload will hit so the
-    # measurement reflects steady-state serving, not compiles
+    # warm every (bucket x tier) executable so the measurement reflects
+    # steady-state serving, not compiles: continuous batching can form a
+    # group of ANY size <= max_batch in ANY bucket (the first run of this
+    # bench warmed only tiers {1, 8} and the mixed workload then hit cold
+    # tier-2/4 compiles, ~50 s each, blowing the request timeout)
     t0 = time.perf_counter()
-    for _ in range(args.warmup):
-        for t in TEXTS:
-            synth.synthesize([t] * synth.max_batch, seed=0)
-            synth.synthesize([t], seed=0)
-    print(f"warmup (compiles): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    n_exec = synth.warmup()
+    print(f"warmup: {n_exec} executables in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
 
     rng = np.random.default_rng(0)
     reqs = [TEXTS[rng.integers(0, len(TEXTS))] for _ in range(args.n)]
@@ -108,6 +109,11 @@ def main():
             t.join()
         wall = time.perf_counter() - t_start
 
+    failed = sum(1 for l in lat if l is None)
+    if failed:
+        print(f"ERROR: {failed}/{args.n} requests failed/timed out",
+              file=sys.stderr)
+        sys.exit(1)
     lat_ms = np.asarray([l * 1e3 for l in lat])
     total_audio = float(np.sum(audio_s))
     out = {

@@ -80,6 +80,9 @@ class VITS2ModelConfig:
     # (approximate — quality gated in BASELINE.md; never used in training;
     # ops/quant.py)
     quantize_decoder: bool = False
+    # fused MRF Pallas kernel for the decoder's unpacked C<=128 resblock
+    # banks (exact; inference-only wiring; kernels/mrf_fused.py)
+    fuse_mrf: bool = False
     # decoder family: "hifigan" (reference parity) or "mb_istft" (beyond
     # parity: the MB-iSTFT-VITS lightweight decoder, ops/mb_istft.py — the
     # conv trunk stops at prod(upsample_rates) and an iSTFT head + fixed

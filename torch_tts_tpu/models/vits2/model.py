@@ -579,6 +579,7 @@ class SynthesizerTrn(nn.Module):
                 gin_channels=c.gin_channels,
                 pack_narrow=getattr(c, "pack_narrow_convs", False),
                 quant_int8=getattr(c, "quantize_decoder", False),
+                fuse_mrf=getattr(c, "fuse_mrf", False),
             )
         self.enc_q = PosteriorEncoder(
             c.inter_channels, c.hidden_channels, 5, 1, 16, gin_channels=c.gin_channels

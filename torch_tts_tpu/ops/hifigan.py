@@ -34,11 +34,40 @@ class ResBlock1(nn.Module):
     quant: Optional[str] = None  # "int8" W8A8 inference (unpacked path only)
 
     @nn.compact
-    def __call__(self, x, x_mask=None, input_pack: int = 1):
+    def __call__(self, x, x_mask=None, input_pack: int = 1,
+                 return_kernels: bool = False):
         """input_pack > 1: x (and the return value) are space-to-depth
         packed [B, L/P, P*C]; every conv runs in packed layout and the
         elementwise ops are layout-agnostic. x_mask stays UNPACKED
-        [B, L, 1] (packed_mask_mul reshapes around the multiply)."""
+        [B, L, 1] (packed_mask_mul reshapes around the multiply).
+
+        return_kernels: create the SAME params but return the block's conv
+        taps for the fused MRF kernel (kernels/mrf_fused.py) instead of
+        computing — a tuple over iterations of
+        ((offsets1, w1 [k*C, C], b1), (offsets2, w2 [k*C, C], b2))."""
+        if return_kernels:
+            from torch_tts_tpu.kernels.mrf_fused import dilated_offsets
+
+            C = self.channels
+            iters = []
+            for j, d in enumerate(self.dilation):
+                k1, b1 = Conv1d(
+                    C, self.kernel_size,
+                    padding=_get_padding(self.kernel_size, d), dilation=d,
+                    weight_norm=True, name=f"conv1_{j}",
+                )(x, return_kernel=True)
+                k2, b2 = Conv1d(
+                    C, self.kernel_size,
+                    padding=_get_padding(self.kernel_size, 1),
+                    weight_norm=True, name=f"conv2_{j}",
+                )(x, return_kernel=True)
+                iters.append((
+                    (dilated_offsets(self.kernel_size, d),
+                     k1.reshape(self.kernel_size * C, C), b1),
+                    (dilated_offsets(self.kernel_size, 1),
+                     k2.reshape(self.kernel_size * C, C), b2),
+                ))
+            return tuple(iters)
         mul = (lambda t: packed_mask_mul(t, x_mask, input_pack, self.channels)) \
             if x_mask is not None else (lambda t: t)
         for j, d in enumerate(self.dilation):
@@ -112,6 +141,12 @@ class Generator(nn.Module):
     # floor). Approximate (quality gated in BASELINE.md) — never for
     # training. ops/quant.py.
     quant_int8: bool = False
+    # fused MRF resblock banks (kernels/mrf_fused.py): whole-stage
+    # VMEM-resident Pallas kernel for the UNPACKED unmasked ResBlock1 stages
+    # with C <= 128 (the C=128 stage is the roofline table's "next lever",
+    # BASELINE.md round 3). Exact boundary semantics; inference-only wiring
+    # (the training step keeps the XLA path).
+    fuse_mrf: bool = False
 
     @nn.compact
     def __call__(self, x, g: Optional[jnp.ndarray] = None,
@@ -185,16 +220,32 @@ class Generator(nn.Module):
                 P_t = max(1, min(P, 128 // ch if ch < 128 else 1))
                 x = repack(x, P, P_t, ch)
                 P = P_t
-            xs = None
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-            ):
-                block = res_cls(ch, rk, tuple(rd),
-                                quant=None if P > 1 else q8,
-                                name=f"resblock_{i}_{j}")
-                b_out = block(x, mask, input_pack=P)
-                xs = b_out if xs is None else xs + b_out
-            x = xs / num_kernels
+            fuse_stage = (
+                self.fuse_mrf and res_cls is ResBlock1 and P == 1
+                and mask is None and q8 is None and ch <= 128
+            )
+            if fuse_stage:
+                from torch_tts_tpu.kernels.mrf_fused import mrf_fused
+
+                fblocks = []
+                for j, (rk, rd) in enumerate(
+                    zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+                ):
+                    block = ResBlock1(ch, rk, tuple(rd),
+                                      name=f"resblock_{i}_{j}")
+                    fblocks.append(block(x, return_kernels=True))
+                x = mrf_fused(x, tuple(fblocks))
+            else:
+                xs = None
+                for j, (rk, rd) in enumerate(
+                    zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+                ):
+                    block = res_cls(ch, rk, tuple(rd),
+                                    quant=None if P > 1 else q8,
+                                    name=f"resblock_{i}_{j}")
+                    b_out = block(x, mask, input_pack=P)
+                    xs = b_out if xs is None else xs + b_out
+                x = xs / num_kernels
             if stop_after_stage is not None and i == stop_after_stage:
                 return repack(x, P, 1, ch)
 
