@@ -235,3 +235,34 @@ def test_continuous_batcher_mixed_scales_dont_merge(synth):
     a, b = f1.result(timeout=120), f2.result(timeout=120)
     cb.close()
     assert not np.array_equal(a.audio, b.audio)
+
+
+def test_warmup_compiles_full_grid(synth):
+    """warmup() populates exactly len(buckets) x len(batch_tiers)
+    executables, so steady-state traffic of ANY group size/bucket never
+    pays a compile (the on-chip serving bench hit cold tier compiles and
+    blew its request timeout before this existed)."""
+    n = synth.warmup()
+    assert n == len(synth.buckets) * len(synth.batch_tiers)
+    assert len(synth._infer_cache) == n
+    # traffic after warmup adds nothing
+    synth.synthesize(["hi", "hello there", "one more"], seed=3)
+    assert len(synth._infer_cache) == n
+
+
+def test_continuous_batcher_survives_oversized_request(synth):
+    """A request longer than the largest bucket fails ITS future with
+    ValueError; the loop thread survives and keeps serving (it previously
+    died in the grouping code, hanging every in-flight future)."""
+    from torch_tts_tpu.infer.serving import ContinuousBatcher
+
+    with ContinuousBatcher(synth) as cb:
+        bad = cb.submit("x" * 500)
+        good = cb.submit("hi")
+        with pytest.raises(ValueError, match="too long"):
+            bad.result(timeout=60)
+        r = good.result(timeout=60)
+        assert len(r.audio) > 0
+        # and the loop still serves AFTER the failure
+        r2 = cb.submit("again", seed=2).result(timeout=60)
+        assert len(r2.audio) > 0

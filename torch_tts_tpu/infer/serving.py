@@ -211,10 +211,21 @@ class Synthesizer:
         audio, y_lengths, attn = fn(
             self.params, jnp.asarray(x), jnp.asarray(xl), sid_arr, scales, key
         )
-        audio = np.asarray(audio)
+        # fetch y_lengths (tiny) first, then only the USED slice of the
+        # audio: padding rows and the padded tail never cross the wire.
+        # Device->host bandwidth is the serving bottleneck in tunneled
+        # setups (~23 MB/s measured, BASELINE.md); a full [tier, max_frames
+        # * hop] fetch bills up to the bucket's padding factor extra.
         y_lengths = np.asarray(y_lengths)
         hop = self.cfg.audio.hop_length
         sr = self.cfg.audio.sampling_rate
+        # quantize the slice length to 1/8ths of the bucket so the eager
+        # slice op compiles at most 8 shapes per (bucket, tier), not one
+        # per distinct utterance length
+        step = max(1, max_frames * hop // 8)
+        used = max(1, int(y_lengths[:B].max())) * hop
+        used = min(max_frames * hop, -(-used // step) * step)
+        audio = np.asarray(audio[:B, :used])
         return [
             SynthesisResult(
                 audio=audio[row, : int(y_lengths[row]) * hop, 0],
@@ -355,6 +366,8 @@ class ContinuousBatcher:
                 return batch
 
     def _loop(self) -> None:
+        import time
+
         import jax
         import jax.numpy as jnp
 
@@ -362,10 +375,17 @@ class ContinuousBatcher:
             reqs = self._drain()
             if not reqs:
                 continue
-            # group by (bucket, scales, multispeaker-ness); cap at max tier
+            # group by (bucket, scales, multispeaker-ness); cap at max tier.
+            # Per-request failures (e.g. text longer than the largest
+            # bucket) surface on THAT request's future — the loop thread
+            # must never die, or every in-flight future hangs to timeout.
             groups: dict = {}
             for r in reqs:
-                bucket = self.synth._bucket_for(len(r.encoded))
+                try:
+                    bucket = self.synth._bucket_for(len(r.encoded))
+                except Exception as e:
+                    r.future.set_exception(e)
+                    continue
                 gkey = (bucket, r.scales_key, r.sid is not None)
                 bins = groups.setdefault(gkey, [[]])
                 if len(bins[-1]) >= self.synth.max_batch:
@@ -374,6 +394,7 @@ class ContinuousBatcher:
             for (bucket, scales_key, has_sid), bins in groups.items():
                 scales = jnp.asarray(scales_key, jnp.float32)
                 for bin_reqs in bins:
+                    t0 = time.perf_counter()
                     try:
                         out = self.synth._run_group(
                             [r.encoded for r in bin_reqs],
@@ -387,3 +408,7 @@ class ContinuousBatcher:
                         for r in bin_reqs:
                             if not r.future.done():
                                 r.future.set_exception(e)
+                    dt = time.perf_counter() - t0
+                    log = logger.warning if dt > 2.0 else logger.debug
+                    log("batch dispatch: B=%d bucket=%s %.0f ms",
+                        len(bin_reqs), bucket, dt * 1e3)
