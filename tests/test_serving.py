@@ -237,6 +237,40 @@ def test_continuous_batcher_mixed_scales_dont_merge(synth):
     assert not np.array_equal(a.audio, b.audio)
 
 
+def test_mesh_sharded_serving_matches_single_device(synth):
+    """Passing a Mesh shards every serving dispatch over the data axis.
+    Output must match the single-device path: same tier -> same noise draw
+    shapes -> same per-row noise, and the model has no cross-batch ops, so
+    per-example math is unchanged by the partitioning."""
+    from torch_tts_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8, "conftest provides 8 virtual devices"
+    buckets = ((16, 24),)
+    base = Synthesizer(synth.cfg, synth.params, buckets=buckets,
+                       batch_tiers=(8,))
+    msynth = Synthesizer(synth.cfg, synth.params, buckets=buckets,
+                         batch_tiers=(8,), mesh=make_mesh())
+    texts = ["hi", "yes", "hello"]
+    a = base.synthesize(texts, seed=11)
+    b = msynth.synthesize(texts, seed=11)
+    for ra, rb in zip(a, b):
+        assert ra.audio.shape == rb.audio.shape and len(ra.audio) > 0
+        np.testing.assert_allclose(ra.audio, rb.audio, atol=1e-5)
+
+
+def test_mesh_default_tiers_scale_and_validate(synth):
+    """Default batch tiers scale by mesh size (every tier splits evenly
+    across chips); explicit non-divisible tiers are rejected."""
+    from torch_tts_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    s = Synthesizer(synth.cfg, synth.params, buckets=((16, 24),), mesh=mesh)
+    assert s.batch_tiers == [8, 16, 32, 64]
+    with pytest.raises(ValueError, match="divisible"):
+        Synthesizer(synth.cfg, synth.params, buckets=((16, 24),),
+                    batch_tiers=(4,), mesh=mesh)
+
+
 def test_warmup_compiles_full_grid(synth):
     """warmup() populates exactly len(buckets) x len(batch_tiers)
     executables, so steady-state traffic of ANY group size/bucket never

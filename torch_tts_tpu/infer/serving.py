@@ -14,7 +14,14 @@ CLIs/web UI here share, designed for production serving on TPU:
 - continuous batching: `ContinuousBatcher` drains a request queue into the
   next dispatch, so concurrent callers share TPU batches instead of
   serializing (the reference has no serving loop at all),
-- explicit RNG (same seed -> same audio).
+- explicit RNG (same seed -> same audio; NOTE the noise draw shapes include
+  the batch tier, so determinism holds per (seed, tier), not across tiers),
+- multi-chip scale-out: pass a `jax.sharding.Mesh` and every executable is
+  compiled with the batch tier sharded over the mesh's `data` axis (params
+  replicated) — GSPMD splits each dispatch across chips with zero
+  collectives (the model is batch-independent), so serving rides the same
+  mesh abstraction as training (parallel/mesh.py). Single-controller: one
+  process drives the whole mesh (pods under a single JAX runtime).
 """
 
 from __future__ import annotations
@@ -49,7 +56,8 @@ class Synthesizer:
         cfg,
         params,
         buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
-        batch_tiers: Sequence[int] = DEFAULT_BATCH_TIERS,
+        batch_tiers: Optional[Sequence[int]] = None,
+        mesh=None,
     ):
         import jax
 
@@ -57,6 +65,22 @@ class Synthesizer:
         from torch_tts_tpu.train.vits2_trainer import build_models
 
         self.cfg = cfg
+        self.mesh = mesh
+        n_shard = 1
+        if mesh is not None:
+            from torch_tts_tpu.parallel.mesh import replicate
+
+            n_shard = int(mesh.size)
+            params = replicate(params, mesh)
+        if batch_tiers is None:
+            # scale the default tiers by the mesh size so every tier splits
+            # evenly across chips (one mesh-wide dispatch per group)
+            batch_tiers = tuple(t * n_shard for t in DEFAULT_BATCH_TIERS)
+        bad = [t for t in batch_tiers if t % n_shard]
+        if bad:
+            raise ValueError(
+                f"batch tiers {bad} not divisible by mesh size {n_shard}"
+            )
         self.params = params
         self.buckets = sorted(buckets)
         self.batch_tiers = sorted(batch_tiers)
@@ -136,7 +160,6 @@ class Synthesizer:
             jax = self._jax
             model, Synth = self.model, self._SynthesizerTrn
 
-            @jax.jit
             def fn(params, x, x_lengths, sid, scales, rng):
                 audio, attn, y_mask, _aux, y_lengths = model.apply(
                     {"params": params}, x, x_lengths, sid=sid,
@@ -147,6 +170,22 @@ class Synthesizer:
                 )
                 return audio, y_lengths, attn
 
+            if self.mesh is None:
+                fn = jax.jit(fn)
+            else:
+                # batch tier split over the mesh's data axis, params
+                # replicated; the model has no cross-batch ops so GSPMD
+                # partitions every dispatch with zero collectives
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                bs = NamedSharding(self.mesh, P("data"))
+                rep = NamedSharding(self.mesh, P())
+                fn = jax.jit(
+                    fn,
+                    in_shardings=(rep, bs, bs, bs, rep, rep),
+                    out_shardings=(bs, bs, bs),
+                )
             self._infer_cache[key] = fn
         return self._infer_cache[key]
 
