@@ -271,6 +271,36 @@ def test_mesh_default_tiers_scale_and_validate(synth):
                     batch_tiers=(4,), mesh=mesh)
 
 
+def test_split_for_synthesis_prefers_sentence_boundaries():
+    from torch_tts_tpu.infer.serving import split_for_synthesis
+
+    text = "one two. three four! five, six seven"
+    chunks = split_for_synthesis(text, lambda s: len(s) <= 12)
+    assert chunks == ["one two.", "three four!", "five,", "six seven"]
+    # everything fits -> one chunk, untouched
+    assert split_for_synthesis(text, lambda s: True) == [text]
+    # an unbreakable over-limit token raises
+    with pytest.raises(ValueError, match="too long"):
+        split_for_synthesis("supercalifragilistic", lambda s: len(s) <= 5)
+
+
+def test_synthesize_long(synth):
+    """Long text chunks at sentence boundaries, chunks ride the normal
+    bucketed batch path, audio concatenates in order (+ optional pause)."""
+    sent = "this sentence fills a bucket nicely."
+    long_text = " ".join([sent] * 6)
+    # each sentence alone exceeds the small bucket? no — but 6 of them
+    # exceed the largest (80-token) bucket, forcing >1 chunk
+    assert len(synth.encode_text(long_text)) > synth.buckets[-1][0]
+    r = synth.synthesize_long(long_text, seed=5)
+    assert r.audio.ndim == 1 and len(r.audio) > 0
+    # with a pause, total length grows by exactly (n_chunks-1) * pause
+    r_pause = synth.synthesize_long(long_text, pause_ms=100.0, seed=5)
+    extra = len(r_pause.audio) - len(r.audio)
+    pause_samples = int(0.1 * r.sample_rate)
+    assert extra > 0 and extra % pause_samples == 0
+
+
 def test_warmup_compiles_full_grid(synth):
     """warmup() populates exactly len(buckets) x len(batch_tiers)
     executables, so steady-state traffic of ANY group size/bucket never

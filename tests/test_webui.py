@@ -1,0 +1,113 @@
+"""Web UI / HTTP serving daemon: the stdlib server rides the production
+serving stack (Synthesizer + ContinuousBatcher) — concurrent requests share
+dispatches, per-request failures return 400 without killing the server."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from torch_tts_tpu.core.config import (
+    AudioConfig,
+    DataConfig,
+    VITS2Config,
+    VITS2ModelConfig,
+    VITS2TrainConfig,
+)
+from torch_tts_tpu.infer.serving import Synthesizer
+from torch_tts_tpu.models.vits2 import SynthesizerTrn
+
+HOP = 64
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    model_cfg = VITS2ModelConfig(
+        inter_channels=16, hidden_channels=16, filter_channels=32, n_heads=2,
+        n_layers=1, kernel_size=3, p_dropout=0.1, resblock="2",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(8, 8), upsample_initial_channel=32,
+        upsample_kernel_sizes=(16, 16), segment_size=4 * HOP,
+    )
+    audio = AudioConfig(sampling_rate=8000, filter_length=128, hop_length=HOP,
+                        win_length=128, n_mel_channels=20)
+    cfg = VITS2Config(
+        audio=audio, model=model_cfg, train=VITS2TrainConfig(),
+        data=DataConfig(text_cleaners=("basic_cleaners",), add_blank=True),
+    )
+    from torch_tts_tpu.train.vits2_trainer import build_models
+
+    model, _, _ = build_models(cfg)
+    x = jnp.zeros((1, 8), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, x, jnp.asarray([8], jnp.int32), max_frames=16,
+                           method=SynthesizerTrn.infer)
+    synth = Synthesizer(cfg, variables["params"], buckets=((16, 24),),
+                        batch_tiers=(1, 2, 4))
+
+    from torch_tts_tpu.cli.webui import make_server
+
+    server, batcher = make_server(synth, port=0, host="127.0.0.1")
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address
+    yield f"http://{host}:{port}"
+    server.shutdown()
+    batcher.close()
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(f"{server_url}/healthz", timeout=60) as r:
+        payload = json.loads(r.read())
+    assert payload["status"] == "ok"
+    assert payload["batch_tiers"] == [1, 2, 4]
+
+
+def test_tts_returns_wav(server_url):
+    with urllib.request.urlopen(
+        f"{server_url}/tts?text=hi&seed=3", timeout=300
+    ) as r:
+        data = r.read()
+        assert r.headers["Content-Type"] == "audio/wav"
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE" and len(data) > 44
+
+
+def test_concurrent_requests_batch_and_succeed(server_url):
+    results = [None, None]
+
+    def fetch(i, text):
+        with urllib.request.urlopen(
+            f"{server_url}/tts?text={text}&seed={i}", timeout=300
+        ) as r:
+            results[i] = r.read()
+
+    ts = [threading.Thread(target=fetch, args=(0, "hi")),
+          threading.Thread(target=fetch, args=(1, "yes"))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert all(r is not None and r[:4] == b"RIFF" for r in results)
+
+
+def test_oversized_text_is_400_and_server_survives(server_url):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(
+            f"{server_url}/tts?text={'x' * 200}", timeout=300
+        )
+    assert exc.value.code == 400
+    # server still serves afterwards
+    with urllib.request.urlopen(f"{server_url}/tts?text=ok", timeout=300) as r:
+        assert r.read()[:4] == b"RIFF"
+
+
+def test_index_form(server_url):
+    with urllib.request.urlopen(server_url, timeout=60) as r:
+        body = r.read()
+    assert b"<form" in body

@@ -32,6 +32,13 @@ def main():
     p.add_argument("--length-scale", type=float, default=1.0)
     p.add_argument("--max-frames", type=int, default=1000)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--long", action="store_true",
+                   help="long-form mode: --text may be arbitrarily long; it "
+                        "is split at sentence/clause boundaries, chunks are "
+                        "batch-synthesized through the serving API, and the "
+                        "audio is concatenated (see --pause-ms)")
+    p.add_argument("--pause-ms", type=float, default=0.0,
+                   help="silence inserted between long-form chunks")
     p.add_argument("--stream-chunk", type=int, default=0, metavar="FRAMES",
                    help="stream the decoder in FRAMES-sized chunks "
                         "(infer/streaming.py): audio is produced "
@@ -74,6 +81,20 @@ def main():
         return
     if not args.text:
         p.error("--text or --text-file is required")
+
+    if args.long:
+        from torch_tts_tpu.infer.serving import Synthesizer
+
+        synth = Synthesizer.from_run_dir(args.config, args.model_dir)
+        r = synth.synthesize_long(
+            args.text, pause_ms=args.pause_ms, sid=args.sid, seed=args.seed,
+            noise_scale=args.noise_scale, noise_scale_w=args.noise_scale_w,
+            length_scale=args.length_scale,
+        )
+        wavfile.write(args.output, r.sample_rate,
+                      (np.clip(r.audio, -1, 1) * 32767).astype(np.int16))
+        print(f"wrote {args.output}: {len(r.audio) / r.sample_rate:.2f}s")
+        return
 
     ids = text_to_sequence(args.text, list(cfg.data.text_cleaners))
     if cfg.data.add_blank:

@@ -1,12 +1,27 @@
-"""Web UI for VITS2 synthesis.
+"""Web UI + HTTP serving daemon for VITS2 synthesis.
 
 Equivalent of /root/reference/vits2/webui.py (a Gradio text->wav interface
-with model/config dropdowns scanned from disk). Uses gradio when installed;
-otherwise serves a dependency-free stdlib HTTP form with the same
-functionality (this image has no gradio).
+with model/config inputs), but the HTTP surface sits on the production
+serving stack (infer/serving.py) instead of a one-request-at-a-time forward
+(the reference synthesizes with an unbatched `infer` per click,
+vits2/webui.py:65): one load-once `Synthesizer` with bucketed static shapes
+and batch tiers, and a `ContinuousBatcher` so CONCURRENT requests share TPU
+dispatches. Every decode is jitted — an unjitted full-decoder apply costs
+hundreds of host<->device round trips (~1 min through the dev tunnel).
+
+Uses gradio when installed; otherwise serves a dependency-free stdlib HTTP
+form with the same functionality (this image has no gradio).
+
+Endpoints (stdlib server):
+  GET /          HTML form
+  GET /tts?text=...[&noise=0.667][&length=1.0][&noise_w=0.8][&sid=N][&seed=N]
+                 -> audio/wav (400 on bad input, e.g. text over the largest
+                 bucket)
+  GET /healthz   -> JSON: buckets, batch tiers, compiled executables
 
 Usage:
-  python -m torch_tts_tpu.cli.webui -c config.yaml -m runs/ljspeech [--port 7860]
+  python -m torch_tts_tpu.cli.webui -c config.yaml -m runs/ljspeech \
+      [--port 7860] [--warmup]
 """
 
 from __future__ import annotations
@@ -16,60 +31,7 @@ import io
 import json
 import logging
 
-
-def make_tts(config_path: str, model_dir: str):
-    """Build a tts(text, noise_scale, length_scale) -> (sr, int16 wav) closure."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from torch_tts_tpu.core.config import load_vits2_config
-    from torch_tts_tpu.models.vits2 import SynthesizerTrn
-    from torch_tts_tpu.text import intersperse, text_to_sequence
-    from torch_tts_tpu.train import checkpoint as ckpt
-    from torch_tts_tpu.train.vits2_trainer import build_models
-
-    cfg = load_vits2_config(config_path)
-    model, _, _ = build_models(cfg)
-    params = None
-
-    def ensure_params(x, x_lengths):
-        nonlocal params
-        if params is not None:
-            return params
-        rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
-                "dropout": jax.random.PRNGKey(2)}
-        variables = model.init(
-            rngs, x, x_lengths, max_frames=1000, method=SynthesizerTrn.infer
-        )
-        latest = ckpt.latest_checkpoint(model_dir)
-        if latest:
-            loaded = ckpt.restore_checkpoint(latest, {"params_g": variables["params"]})
-            params = loaded["params_g"]
-        else:
-            logging.warning("no checkpoint in %s; using random weights", model_dir)
-            params = variables["params"]
-        return params
-
-    def tts(text: str, noise_scale: float = 0.667, length_scale: float = 1.0):
-        ids = text_to_sequence(text, list(cfg.data.text_cleaners))
-        if cfg.data.add_blank:
-            ids = intersperse(ids, 0)
-        x = jnp.asarray([ids], jnp.int32)
-        xl = jnp.asarray([len(ids)], jnp.int32)
-        p = ensure_params(x, xl)
-        audio, attn, y_mask, _aux, y_lengths = model.apply(
-            {"params": p}, x, xl,
-            noise_scale=noise_scale, noise_scale_w=0.8, length_scale=length_scale,
-            max_frames=1000, method=SynthesizerTrn.infer,
-            rngs={"noise": jax.random.PRNGKey(0)},
-        )
-        n = int(np.asarray(y_lengths)[0]) * cfg.audio.hop_length
-        wav = np.clip(np.asarray(audio)[0, :n, 0], -1, 1)
-        return cfg.audio.sampling_rate, (wav * 32767).astype(np.int16)
-
-    return tts
-
+logger = logging.getLogger(__name__)
 
 _FORM = """<!doctype html><title>torch_tts_tpu</title>
 <h2>torch_tts_tpu — VITS2 synthesis</h2>
@@ -81,43 +43,81 @@ _FORM = """<!doctype html><title>torch_tts_tpu</title>
 </form>"""
 
 
-def serve_stdlib(tts, port: int):
-    import urllib.parse
-    from http.server import BaseHTTPRequestHandler, HTTPServer
-
+def wav_bytes(audio, sample_rate: int) -> bytes:
+    import numpy as np
     from scipy.io import wavfile
 
+    buf = io.BytesIO()
+    wav = (np.clip(audio, -1.0, 1.0) * 32767).astype(np.int16)
+    wavfile.write(buf, sample_rate, wav)
+    return buf.getvalue()
+
+
+def make_server(synth, port: int = 0, host: str = "0.0.0.0"):
+    """HTTP server over a ContinuousBatcher. Returns (server, batcher);
+    callers run server.serve_forever() (a thread in tests, the main thread
+    in `main`). ThreadingHTTPServer handles each request on its own thread,
+    so simultaneous /tts requests land in the batcher's queue together and
+    ride one TPU dispatch."""
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from torch_tts_tpu.infer.serving import ContinuousBatcher
+
+    batcher = ContinuousBatcher(synth)
+
     class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             url = urllib.parse.urlparse(self.path)
             if url.path == "/tts":
                 q = urllib.parse.parse_qs(url.query)
-                text = q.get("text", ["hello"])[0]
-                noise = float(q.get("noise", ["0.667"])[0])
-                length = float(q.get("length", ["1.0"])[0])
-                sr, wav = tts(text, noise, length)
-                buf = io.BytesIO()
-                wavfile.write(buf, sr, wav)
-                data = buf.getvalue()
-                self.send_response(200)
-                self.send_header("Content-Type", "audio/wav")
-                self.send_header("Content-Length", str(len(data)))
-                self.end_headers()
-                self.wfile.write(data)
+                try:
+                    fut = batcher.submit(
+                        q.get("text", ["hello"])[0],
+                        noise_scale=float(q.get("noise", ["0.667"])[0]),
+                        length_scale=float(q.get("length", ["1.0"])[0]),
+                        noise_scale_w=float(q.get("noise_w", ["0.8"])[0]),
+                        sid=int(q["sid"][0]) if "sid" in q else None,
+                        seed=int(q.get("seed", ["1234"])[0]),
+                    )
+                    r = fut.result(timeout=600)
+                except Exception as e:  # surfaced per-request, server lives on
+                    self._send(400, f"synthesis failed: {e}".encode(),
+                               "text/plain; charset=utf-8")
+                    return
+                self._send(200, wav_bytes(r.audio, r.sample_rate), "audio/wav")
+            elif url.path == "/healthz":
+                payload = {
+                    "status": "ok",
+                    "buckets": [list(b) for b in synth.buckets],
+                    "batch_tiers": list(synth.batch_tiers),
+                    "compiled_executables": len(synth._infer_cache),
+                }
+                self._send(200, json.dumps(payload).encode(), "application/json")
             else:
-                body = _FORM.encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "text/html; charset=utf-8")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._send(200, _FORM.encode(), "text/html; charset=utf-8")
 
         def log_message(self, fmt, *args):
-            logging.info("webui: " + fmt, *args)
+            logger.info("webui: " + fmt, *args)
 
-    server = HTTPServer(("0.0.0.0", port), Handler)
-    print(f"serving on http://0.0.0.0:{port}")
-    server.serve_forever()
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server, batcher
+
+
+def serve_stdlib(synth, port: int) -> None:
+    server, batcher = make_server(synth, port)
+    print(f"serving on http://0.0.0.0:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    finally:
+        batcher.close()
 
 
 def main():
@@ -125,15 +125,27 @@ def main():
     p.add_argument("-c", "--config", required=True)
     p.add_argument("-m", "--model-dir", required=True)
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile the full (bucket x tier) executable grid "
+                        "before accepting traffic")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 
-    tts = make_tts(args.config, args.model_dir)
+    from torch_tts_tpu.infer.serving import Synthesizer
+
+    synth = Synthesizer.from_run_dir(args.config, args.model_dir)
+    if args.warmup:
+        n = synth.warmup()
+        logger.info("warmup: %d executables compiled", n)
+
     try:
         import gradio as gr  # pragma: no cover - not in this image
 
         def fn(text, noise_scale, length_scale):
-            return tts(text, noise_scale, length_scale)
+            r = synth.synthesize(
+                [text], noise_scale=noise_scale, length_scale=length_scale
+            )[0]
+            return r.sample_rate, r.audio
 
         gr.Interface(
             fn=fn,
@@ -145,7 +157,7 @@ def main():
             outputs=gr.Audio(label="audio"),
         ).launch(server_port=args.port)
     except ImportError:
-        serve_stdlib(tts, args.port)
+        serve_stdlib(synth, args.port)
 
 
 if __name__ == "__main__":

@@ -50,6 +50,43 @@ class SynthesisResult:
     attn: Optional[np.ndarray] = None
 
 
+# split preference: sentence end > clause break > any whitespace
+_SPLIT_LEVELS = (r"(?<=[.!?;:])\s+", r"(?<=,)\s+", r"\s+")
+
+
+def split_for_synthesis(text: str, fits) -> List[str]:
+    """Split `text` into chunks each satisfying `fits(chunk)`, breaking at
+    the coarsest boundary that works (sentence > clause > word), then
+    greedily re-merging adjacent pieces while the merge still fits — so
+    chunks are as long as the largest bucket allows (fewer dispatches, and
+    prosody breaks land on punctuation). Raises ValueError when a single
+    unbreakable token exceeds the limit."""
+    import re
+
+    def rec(s: str, level: int) -> List[str]:
+        if fits(s):
+            return [s]
+        if level >= len(_SPLIT_LEVELS):
+            raise ValueError(f"text piece too long to split: {s[:60]!r}...")
+        parts = [p for p in re.split(_SPLIT_LEVELS[level], s) if p]
+        if len(parts) == 1:
+            return rec(s, level + 1)
+        out: List[str] = []
+        for p in parts:
+            out.extend(rec(p, level + 1))
+        return out
+
+    pieces = rec(text.strip(), 0)
+    chunks = [pieces[0]]
+    for p in pieces[1:]:
+        merged = chunks[-1] + " " + p
+        if fits(merged):
+            chunks[-1] = merged
+        else:
+            chunks.append(p)
+    return chunks
+
+
 class Synthesizer:
     def __init__(
         self,
@@ -315,6 +352,40 @@ class Synthesizer:
             for row, i in enumerate(group):
                 results[i] = out[row]
         return results  # type: ignore[return-value]
+
+    def synthesize_long(
+        self,
+        text: str,
+        pause_ms: float = 0.0,
+        sid: Optional[int] = None,
+        seed: int = 1234,
+        **scales,
+    ) -> SynthesisResult:
+        """Long-form synthesis: text of ANY length is split at sentence (then
+        clause, then word) boundaries into chunks that fit the largest bucket,
+        the chunks are batch-synthesized through the normal bucketed path
+        (same-bucket chunks share dispatches), and the audio is concatenated
+        in order with `pause_ms` of silence between chunks. (The reference's
+        inference scripts synthesize one fixed text with no chunking,
+        vits2/inference.py:13-63; training data is filtered to <=190 tokens,
+        vits2/data_utils.py, so long inputs are far out of distribution for
+        a single dispatch anyway.)"""
+        limit = self.buckets[-1][0]
+        chunks = split_for_synthesis(
+            text, lambda s: len(self.encode_text(s)) <= limit
+        )
+        results = self.synthesize(
+            chunks, sid=[sid] * len(chunks) if sid is not None else None,
+            seed=seed, **scales,
+        )
+        sr = self.cfg.audio.sampling_rate
+        pause = np.zeros(int(sr * pause_ms / 1000.0), np.float32)
+        parts: List[np.ndarray] = []
+        for i, r in enumerate(results):
+            if i and len(pause):
+                parts.append(pause)
+            parts.append(r.audio)
+        return SynthesisResult(audio=np.concatenate(parts), sample_rate=sr)
 
 
 @dataclass
