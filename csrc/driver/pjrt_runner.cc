@@ -1,9 +1,12 @@
 #include "pjrt_runner.h"
 
 #include <dlfcn.h>
+#include <unistd.h>
 
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 
 #include "xla/pjrt/c/pjrt_c_api.h"
 
@@ -92,6 +95,39 @@ bool WriteTTSB(const std::string& path, const std::vector<HostTensor>& tensors) 
   }
   fclose(f);
   return true;
+}
+
+std::vector<CreateOption> DefaultCreateOptions(const std::string& plugin_path) {
+  std::vector<CreateOption> opts;
+  if (plugin_path.find("axon") == std::string::npos) return opts;
+  const char* gen = getenv("PALLAS_AXON_TPU_GEN");
+  const char* topo_env = getenv("PJRT_TOPOLOGY");
+  std::string topo =
+      topo_env ? topo_env : std::string(gen ? gen : "v5e") + ":1x1x1";
+  auto add_int = [&](const char* k, int64_t v) {
+    CreateOption o;
+    o.key = k;
+    o.int_value = v;
+    o.is_int = true;
+    opts.push_back(o);
+  };
+  auto add_str = [&](const char* k, const std::string& v) {
+    CreateOption o;
+    o.key = k;
+    o.str_value = v;
+    opts.push_back(o);
+  };
+  add_int("remote_compile", 1);
+  add_int("local_only", 0);
+  add_int("priority", 0);
+  add_str("topology", topo);
+  add_int("n_slices", 1);
+  add_int("rank", 0xFFFFFFFFll);
+  char session[64];
+  snprintf(session, sizeof(session), "ttsrt-%d-%ld", getpid(),
+           (long)time(nullptr));
+  add_str("session_id", session);
+  return opts;
 }
 
 PjrtRunner::~PjrtRunner() {

@@ -46,6 +46,13 @@ struct CreateOption {
   bool is_int = false;
 };
 
+// Create options a plugin needs. The axon TPU-tunnel plugin requires the
+// option set its Python register() builds (topology/session/remote-compile
+// NamedValues — see CLAUDE.md environment notes); other plugins (libtpu,
+// CPU) need none. Topology override via $PJRT_TOPOLOGY, generation via
+// $PALLAS_AXON_TPU_GEN.
+std::vector<CreateOption> DefaultCreateOptions(const std::string& plugin_path);
+
 class PjrtRunner {
  public:
   ~PjrtRunner();

@@ -80,41 +80,7 @@ int main(int argc, char** argv) {
 
   PjrtRunner runner;
   std::string err;
-  // Client create options. The axon TPU-tunnel plugin requires the option
-  // set its Python register() builds (topology/session/compile mode); other
-  // plugins (libtpu, CPU) ignore unknown options or need none — pass them
-  // only for axon. Override topology via $PJRT_TOPOLOGY.
-  std::vector<ttsrt::CreateOption> opts;
-  if (plugin.find("axon") != std::string::npos) {
-    const char* gen = getenv("PALLAS_AXON_TPU_GEN");
-    const char* topo_env = getenv("PJRT_TOPOLOGY");
-    std::string topo = topo_env ? topo_env
-                                : std::string(gen ? gen : "v5e") + ":1x1x1";
-    auto add_int = [&](const char* k, int64_t v) {
-      ttsrt::CreateOption o;
-      o.key = k;
-      o.int_value = v;
-      o.is_int = true;
-      opts.push_back(o);
-    };
-    auto add_str = [&](const char* k, const std::string& v) {
-      ttsrt::CreateOption o;
-      o.key = k;
-      o.str_value = v;
-      opts.push_back(o);
-    };
-    add_int("remote_compile", 1);
-    add_int("local_only", 0);
-    add_int("priority", 0);
-    add_str("topology", topo);
-    add_int("n_slices", 1);
-    add_int("rank", 0xFFFFFFFFll);
-    char session[64];
-    snprintf(session, sizeof(session), "ttsrt-%d-%ld", getpid(),
-             (long)time(nullptr));
-    add_str("session_id", session);
-  }
-  if (!runner.Init(plugin, &err, opts)) {
+  if (!runner.Init(plugin, &err, ttsrt::DefaultCreateOptions(plugin))) {
     fprintf(stderr, "PJRT init failed (%s): %s\n", plugin.c_str(), err.c_str());
     return 2;
   }

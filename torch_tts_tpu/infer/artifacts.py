@@ -59,7 +59,10 @@ def read_ttsb(path: str) -> List[np.ndarray]:
 
 def export_flat_fn(fn, example_args, path_prefix: str) -> None:
     """Export jit(fn) over flat array args:
-    <prefix>.mlir (StableHLO bytecode) + <prefix>.copts (CompileOptions)."""
+    <prefix>.mlir (StableHLO bytecode, what the C++ driver compiles via
+    PJRT) + <prefix>.copts (CompileOptions) + <prefix>.jaxexp (the full
+    serialized jax.export.Exported, so Python tests/tools can deserialize
+    and re-execute the very program the native side runs)."""
     import jax
     from jax import export as jexport
     from jaxlib import _jax
@@ -69,3 +72,5 @@ def export_flat_fn(fn, example_args, path_prefix: str) -> None:
         f.write(exported.mlir_module_serialized)
     with open(path_prefix + ".copts", "wb") as f:
         f.write(_jax.CompileOptions().SerializeAsString())
+    with open(path_prefix + ".jaxexp", "wb") as f:
+        f.write(exported.serialize())
