@@ -227,27 +227,43 @@ class Synthesizer:
         return self._infer_cache[key]
 
     def warmup(self, tiers: Optional[Sequence[int]] = None,
-               buckets: Optional[Sequence[Tuple[int, int]]] = None) -> int:
+               buckets: Optional[Sequence[Tuple[int, int]]] = None,
+               parallel: int = 4) -> int:
         """Compile (and execute once) every (bucket x tier) executable so
         steady-state traffic never pays a compile — serving processes call
         this at startup. Mixed-length traffic through ContinuousBatcher can
         form a group of ANY size <= max_batch in ANY bucket, so the default
         warms the full grid (len(buckets) x len(batch_tiers) programs; each
-        compile is tens of seconds on TPU). Returns the number of cached
-        executables."""
+        compile is tens of seconds on TPU). Compiles run from `parallel`
+        threads — each grid cell is a distinct jit cache entry, so the XLA
+        compiles (which release the GIL) overlap and startup costs roughly
+        grid/parallel instead of the serial sum. Returns the number of
+        cached executables."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import jax
         import jax.numpy as jnp
 
         scales = jnp.asarray([0.667, 1.0, 0.8], jnp.float32)
         key = jax.random.PRNGKey(0)
-        for pad_text, max_frames in (buckets or self.buckets):
-            for tier in (tiers or self.batch_tiers):
-                fn = self._infer_fn(tier, pad_text, max_frames)
-                x = np.zeros((tier, pad_text), np.int32)
-                x[:, 0] = 1
-                out = fn(self.params, jnp.asarray(x),
-                         jnp.ones((tier,), np.int32), None, scales, key)
-                jax.block_until_ready(out)
+
+        def one(job):
+            pad_text, max_frames, tier = job
+            fn = self._infer_fn(tier, pad_text, max_frames)
+            x = np.zeros((tier, pad_text), np.int32)
+            x[:, 0] = 1
+            out = fn(self.params, jnp.asarray(x),
+                     jnp.ones((tier,), np.int32), None, scales, key)
+            jax.block_until_ready(out)
+
+        jobs = [(p, m, t) for p, m in (buckets or self.buckets)
+                for t in (tiers or self.batch_tiers)]
+        if parallel <= 1:
+            for j in jobs:
+                one(j)
+        else:
+            with ThreadPoolExecutor(max_workers=parallel) as ex:
+                list(ex.map(one, jobs))  # list() re-raises worker errors
         return len(self._infer_cache)
 
     def encode_text(self, text: str) -> List[int]:
