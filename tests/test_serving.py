@@ -258,6 +258,42 @@ def test_mesh_sharded_serving_matches_single_device(synth):
         np.testing.assert_allclose(ra.audio, rb.audio, atol=1e-5)
 
 
+def test_mesh_sharded_multispeaker_matches_single_device(synth):
+    """The sid path also shards over the mesh (sid is a [tier] array under
+    the batch sharding) — multi-speaker sharded output must match the
+    single-device path."""
+    from torch_tts_tpu.parallel.mesh import make_mesh
+    from torch_tts_tpu.train.vits2_trainer import build_models
+
+    cfg = dataclasses.replace(
+        synth.cfg,
+        model=dataclasses.replace(synth.cfg.model, n_speakers=4,
+                                  gin_channels=8),
+    )
+    model, _, _ = build_models(cfg)
+    x = jnp.zeros((1, 8), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, x, jnp.asarray([8], jnp.int32),
+                           sid=jnp.asarray([0], jnp.int32), max_frames=16,
+                           method=SynthesizerTrn.infer)
+    params = variables["params"]
+    buckets = ((16, 24),)
+    base = Synthesizer(cfg, params, buckets=buckets, batch_tiers=(8,))
+    msynth = Synthesizer(cfg, params, buckets=buckets, batch_tiers=(8,),
+                         mesh=make_mesh())
+    texts = ["hi", "yes", "hello"]
+    sids = [1, 3, 2]
+    a = base.synthesize(texts, sid=sids, seed=11)
+    b = msynth.synthesize(texts, sid=sids, seed=11)
+    for ra, rb in zip(a, b):
+        assert ra.audio.shape == rb.audio.shape and len(ra.audio) > 0
+        np.testing.assert_allclose(ra.audio, rb.audio, atol=1e-5)
+    # speakers actually differ (sid is threaded, not ignored)
+    c = msynth.synthesize(texts, sid=[0, 0, 0], seed=11)
+    assert not np.array_equal(a[0].audio, c[0].audio)
+
+
 def test_mesh_default_tiers_scale_and_validate(synth):
     """Default batch tiers scale by mesh size (every tier splits evenly
     across chips); explicit non-divisible tiers are rejected."""
