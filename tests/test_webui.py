@@ -96,7 +96,18 @@ def test_concurrent_requests_batch_and_succeed(server_url):
     assert all(r is not None and r[:4] == b"RIFF" for r in results)
 
 
-def test_oversized_text_is_400_and_server_survives(server_url):
+def test_long_text_routes_to_longform(server_url):
+    """Text over the largest bucket is sentence-chunked via synthesize_long
+    instead of erroring — narration-length requests just work."""
+    text = urllib.parse.quote("go on. " * 8)  # total > the 16-token bucket
+    with urllib.request.urlopen(
+        f"{server_url}/tts?text={text}", timeout=600
+    ) as r:
+        data = r.read()
+    assert data[:4] == b"RIFF" and len(data) > 44
+
+
+def test_unsplittable_text_is_400_and_server_survives(server_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(
             f"{server_url}/tts?text={'x' * 200}", timeout=300

@@ -78,16 +78,25 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0"):
             url = urllib.parse.urlparse(self.path)
             if url.path == "/tts":
                 q = urllib.parse.parse_qs(url.query)
+                text = q.get("text", ["hello"])[0]
+                kw = dict(
+                    noise_scale=float(q.get("noise", ["0.667"])[0]),
+                    length_scale=float(q.get("length", ["1.0"])[0]),
+                    noise_scale_w=float(q.get("noise_w", ["0.8"])[0]),
+                    sid=int(q["sid"][0]) if "sid" in q else None,
+                    seed=int(q.get("seed", ["1234"])[0]),
+                )
                 try:
-                    fut = batcher.submit(
-                        q.get("text", ["hello"])[0],
-                        noise_scale=float(q.get("noise", ["0.667"])[0]),
-                        length_scale=float(q.get("length", ["1.0"])[0]),
-                        noise_scale_w=float(q.get("noise_w", ["0.8"])[0]),
-                        sid=int(q["sid"][0]) if "sid" in q else None,
-                        seed=int(q.get("seed", ["1234"])[0]),
-                    )
-                    r = fut.result(timeout=600)
+                    if len(synth.encode_text(text)) > synth.buckets[-1][0]:
+                        # longer than the largest bucket: sentence-chunked
+                        # long-form path (one caller, not batched)
+                        r = synth.synthesize_long(
+                            text,
+                            pause_ms=float(q.get("pause_ms", ["0"])[0]),
+                            **kw,
+                        )
+                    else:
+                        r = batcher.submit(text, **kw).result(timeout=600)
                 except Exception as e:  # surfaced per-request, server lives on
                     self._send(400, f"synthesis failed: {e}".encode(),
                                "text/plain; charset=utf-8")
