@@ -337,6 +337,20 @@ def test_synthesize_long(synth):
     assert extra > 0 and extra % pause_samples == 0
 
 
+def test_stream_matches_synthesize(synth):
+    """Serving-level streaming: concatenated chunks equal the monolithic
+    synthesize() audio (same bucket, same seed) to the streaming tolerance,
+    and the first chunk arrives without decoding the whole utterance."""
+    text = "hello there streaming world"
+    mono = synth.synthesize([text], seed=9)[0].audio
+    pieces = list(synth.stream(text, chunk_frames=8, context_frames=32,
+                               seed=9))
+    assert len(pieces) >= 2  # actually chunked
+    cat = np.concatenate(pieces)
+    assert cat.shape == mono.shape
+    np.testing.assert_allclose(cat, mono, atol=2e-5)
+
+
 def test_warmup_compiles_full_grid(synth):
     """warmup() populates exactly len(buckets) x len(batch_tiers)
     executables, so steady-state traffic of ANY group size/bucket never

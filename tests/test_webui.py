@@ -118,6 +118,28 @@ def test_unsplittable_text_is_400_and_server_survives(server_url):
         assert r.read()[:4] == b"RIFF"
 
 
+def test_tts_stream_pcm_matches_wav(server_url):
+    """/tts_stream chunked PCM equals /tts WAV payload (same seed) within
+    1 LSB (both quantize the same float audio); headers carry the format."""
+    with urllib.request.urlopen(
+        f"{server_url}/tts?text=go+on&seed=5", timeout=300
+    ) as r:
+        wav = r.read()
+    with urllib.request.urlopen(
+        f"{server_url}/tts_stream?text=go+on&seed=5&chunk=8", timeout=300
+    ) as r:
+        assert r.headers["X-Format"] == "s16le-mono"
+        assert int(r.headers["X-Sample-Rate"]) == 8000
+        pcm = r.read()
+
+    import numpy as np
+
+    a = np.frombuffer(wav[44:], "<i2").astype(np.int32)  # PCM WAV: 44B header
+    b = np.frombuffer(pcm, "<i2").astype(np.int32)
+    assert len(b) == len(a) > 0
+    assert np.max(np.abs(a - b)) <= 1
+
+
 def test_index_form(server_url):
     with urllib.request.urlopen(server_url, timeout=60) as r:
         body = r.read()

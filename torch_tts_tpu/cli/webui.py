@@ -15,8 +15,14 @@ form with the same functionality (this image has no gradio).
 Endpoints (stdlib server):
   GET /          HTML form
   GET /tts?text=...[&noise=0.667][&length=1.0][&noise_w=0.8][&sid=N][&seed=N]
-                 -> audio/wav (400 on bad input, e.g. text over the largest
-                 bucket)
+                 -> audio/wav; texts longer than the largest bucket are
+                 sentence-chunked via synthesize_long (&pause_ms=...);
+                 unsplittable input -> 400
+  GET /tts_stream?text=...[&chunk=64][same params]
+                 -> chunked-transfer raw PCM (s16le mono; rate in the
+                 X-Sample-Rate header) — audio bytes start flowing at
+                 time-to-first-chunk (~5 ms decode on a v5e), not after the
+                 full utterance is synthesized
   GET /healthz   -> JSON: buckets, batch tiers, compiled executables
 
 Usage:
@@ -67,6 +73,8 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0"):
     batcher = ContinuousBatcher(synth)
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked transfer for /tts_stream
+
         def _send(self, code: int, body: bytes, ctype: str) -> None:
             self.send_response(code)
             self.send_header("Content-Type", ctype)
@@ -102,6 +110,44 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0"):
                                "text/plain; charset=utf-8")
                     return
                 self._send(200, wav_bytes(r.audio, r.sample_rate), "audio/wav")
+            elif url.path == "/tts_stream":
+                import numpy as np
+
+                q = urllib.parse.parse_qs(url.query)
+                try:
+                    chunks = synth.stream(
+                        q.get("text", ["hello"])[0],
+                        chunk_frames=int(q.get("chunk", ["64"])[0]),
+                        noise_scale=float(q.get("noise", ["0.667"])[0]),
+                        length_scale=float(q.get("length", ["1.0"])[0]),
+                        noise_scale_w=float(q.get("noise_w", ["0.8"])[0]),
+                        sid=int(q["sid"][0]) if "sid" in q else None,
+                        seed=int(q.get("seed", ["1234"])[0]),
+                    )
+                    first = next(chunks, None)  # synth errors -> 400, pre-headers
+                except Exception as e:
+                    self._send(400, f"synthesis failed: {e}".encode(),
+                               "text/plain; charset=utf-8")
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("X-Sample-Rate",
+                                 str(synth.cfg.audio.sampling_rate))
+                self.send_header("X-Format", "s16le-mono")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def emit(a) -> None:
+                    pcm = (np.clip(a, -1.0, 1.0) * 32767).astype("<i2").tobytes()
+                    self.wfile.write(f"{len(pcm):x}\r\n".encode())
+                    self.wfile.write(pcm)
+                    self.wfile.write(b"\r\n")
+
+                if first is not None:
+                    emit(first)
+                    for a in chunks:
+                        emit(a)
+                self.wfile.write(b"0\r\n\r\n")
             elif url.path == "/healthz":
                 payload = {
                     "status": "ok",

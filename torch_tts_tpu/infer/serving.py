@@ -369,6 +369,84 @@ class Synthesizer:
                 results[i] = out[row]
         return results  # type: ignore[return-value]
 
+    def _latents_fn(self, pad_text: int, max_frames: int):
+        """Cached jitted `infer_latents` per bucket (batch 1): the prefix of
+        the streaming path (enc_p + duration + flow reverse)."""
+        key = ("latents", pad_text, max_frames)
+        fn = self._infer_cache.get(key)
+        if fn is None:
+            jax = self._jax
+            model, Synth = self.model, self._SynthesizerTrn
+
+            @jax.jit
+            def fn(params, x, x_lengths, sid, scales, rng):
+                return model.apply(
+                    {"params": params}, x, x_lengths, sid=sid,
+                    noise_scale=scales[0], length_scale=scales[1],
+                    noise_scale_w=scales[2],
+                    max_frames=max_frames, method=Synth.infer_latents,
+                    rngs={"noise": rng},
+                )
+
+            self._infer_cache[key] = fn
+        return fn
+
+    def stream(
+        self,
+        text: str,
+        chunk_frames: int = 64,
+        context_frames: int = 32,
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_scale_w: float = 0.8,
+        sid: Optional[int] = None,
+        seed: int = 1234,
+    ):
+        """Streaming synthesis: yields float32 sample chunks as the decoder
+        produces them. Time-to-first-audio pays prefix(bucket) +
+        decode(window) instead of the whole decode (~5 ms on a v5e for a
+        1.5 s first chunk, BASELINE.md TTFA table). Concatenated chunks are
+        numerically identical (2e-5) to `synthesize([text])[0].audio` — same
+        bucket, same seed, same exact-length semantics."""
+        import jax
+        import jax.numpy as jnp
+
+        from torch_tts_tpu.infer.streaming import StreamingDecoder
+
+        encoded = self.encode_text(text)
+        pad_text, max_frames = self._bucket_for(len(encoded))
+        x = np.zeros((1, pad_text), np.int32)
+        x[0, : len(encoded)] = encoded
+        sid_arr = jnp.asarray([sid], jnp.int32) if sid is not None else None
+        scales = jnp.asarray(
+            [noise_scale, length_scale, noise_scale_w], jnp.float32
+        )
+        z, g, y_mask, y_lengths = self._latents_fn(pad_text, max_frames)(
+            self.params, jnp.asarray(x),
+            jnp.asarray([len(encoded)], np.int32), sid_arr, scales,
+            jax.random.PRNGKey(seed),
+        )
+        hop = self.cfg.audio.hop_length
+        n_total = int(np.asarray(y_lengths)[0]) * hop
+
+        dkey = ("streamdec", chunk_frames, context_frames)
+        sd = self._infer_cache.get(dkey)
+        if sd is None:
+            sd = StreamingDecoder(self.model, {"params": self.params},
+                                  chunk_frames=chunk_frames,
+                                  context_frames=context_frames)
+            self._infer_cache[dkey] = sd
+        emitted = 0
+        for piece in sd.stream(z, g, y_mask):
+            a = np.asarray(piece)[0, :, 0]
+            if emitted + len(a) > n_total:
+                a = a[: n_total - emitted]
+            emitted += len(a)
+            if len(a):
+                yield a
+            if emitted >= n_total:
+                return
+
     def synthesize_long(
         self,
         text: str,
