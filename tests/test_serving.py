@@ -351,6 +351,33 @@ def test_stream_matches_synthesize(synth):
     np.testing.assert_allclose(cat, mono, atol=2e-5)
 
 
+def test_stream_long_matches_per_chunk_synthesis(synth):
+    """Long-form streaming equals per-chunk batch-1 synthesis with pauses
+    between chunks. (Not compared against synthesize_long: that BATCHES the
+    chunks into one tier-padded dispatch, and noise draws include the batch
+    dimension — different shapes, different samples, by design.)"""
+    from torch_tts_tpu.infer.serving import split_for_synthesis
+
+    long_text = "this sentence fills a bucket nicely. " * 4
+    limit = synth.buckets[-1][0]
+    chunks = split_for_synthesis(
+        long_text, lambda s: len(synth.encode_text(s)) <= limit
+    )
+    assert len(chunks) > 1
+    pause = np.zeros(int(0.05 * 8000), np.float32)
+    parts = []
+    for i, c in enumerate(chunks):
+        if i:
+            parts.append(pause)
+        parts.append(synth.synthesize([c], seed=6)[0].audio)
+    expected = np.concatenate(parts)
+    cat = np.concatenate(
+        list(synth.stream_long(long_text, pause_ms=50.0, seed=6))
+    )
+    assert cat.shape == expected.shape
+    np.testing.assert_allclose(cat, expected, atol=2e-5)
+
+
 def test_warmup_compiles_full_grid(synth):
     """warmup() populates exactly len(buckets) x len(batch_tiers)
     executables, so steady-state traffic of ANY group size/bucket never

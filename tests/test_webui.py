@@ -140,6 +140,16 @@ def test_tts_stream_pcm_matches_wav(server_url):
     assert np.max(np.abs(a - b)) <= 1
 
 
+def test_tts_stream_long_text(server_url):
+    """Over-bucket text streams sentence-by-sentence (stream_long)."""
+    text = urllib.parse.quote("go on. " * 8)
+    with urllib.request.urlopen(
+        f"{server_url}/tts_stream?text={text}&pause_ms=20", timeout=600
+    ) as r:
+        pcm = r.read()
+    assert len(pcm) > 0 and len(pcm) % 2 == 0
+
+
 def test_index_form(server_url):
     with urllib.request.urlopen(server_url, timeout=60) as r:
         body = r.read()

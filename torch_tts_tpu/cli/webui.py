@@ -22,7 +22,8 @@ Endpoints (stdlib server):
                  -> chunked-transfer raw PCM (s16le mono; rate in the
                  X-Sample-Rate header) — audio bytes start flowing at
                  time-to-first-chunk (~5 ms decode on a v5e), not after the
-                 full utterance is synthesized
+                 full utterance is synthesized; over-bucket texts stream
+                 sentence-by-sentence (stream_long)
   GET /healthz   -> JSON: buckets, batch tiers, compiled executables
 
 Usage:
@@ -115,8 +116,8 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0"):
 
                 q = urllib.parse.parse_qs(url.query)
                 try:
-                    chunks = synth.stream(
-                        q.get("text", ["hello"])[0],
+                    text = q.get("text", ["hello"])[0]
+                    kw = dict(
                         chunk_frames=int(q.get("chunk", ["64"])[0]),
                         noise_scale=float(q.get("noise", ["0.667"])[0]),
                         length_scale=float(q.get("length", ["1.0"])[0]),
@@ -124,6 +125,14 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0"):
                         sid=int(q["sid"][0]) if "sid" in q else None,
                         seed=int(q.get("seed", ["1234"])[0]),
                     )
+                    if len(synth.encode_text(text)) > synth.buckets[-1][0]:
+                        chunks = synth.stream_long(
+                            text,
+                            pause_ms=float(q.get("pause_ms", ["0"])[0]),
+                            **kw,
+                        )
+                    else:
+                        chunks = synth.stream(text, **kw)
                     first = next(chunks, None)  # synth errors -> 400, pre-headers
                 except Exception as e:
                     self._send(400, f"synthesis failed: {e}".encode(),

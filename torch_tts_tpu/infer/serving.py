@@ -447,6 +447,31 @@ class Synthesizer:
             if emitted >= n_total:
                 return
 
+    def stream_long(
+        self,
+        text: str,
+        pause_ms: float = 0.0,
+        sid: Optional[int] = None,
+        seed: int = 1234,
+        **stream_kw,
+    ):
+        """Streaming long-form synthesis: text of any length is split at
+        sentence/clause/word boundaries (same chunking as synthesize_long)
+        and each piece streams through `stream()` in order, with `pause_ms`
+        of silence between pieces — so narration-length requests still get
+        first audio at TTFA, and later sentences synthesize while earlier
+        ones play."""
+        limit = self.buckets[-1][0]
+        chunks = split_for_synthesis(
+            text, lambda s: len(self.encode_text(s)) <= limit
+        )
+        sr = self.cfg.audio.sampling_rate
+        pause = np.zeros(int(sr * pause_ms / 1000.0), np.float32)
+        for i, chunk in enumerate(chunks):
+            if i and len(pause):
+                yield pause
+            yield from self.stream(chunk, sid=sid, seed=seed, **stream_kw)
+
     def synthesize_long(
         self,
         text: str,
