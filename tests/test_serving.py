@@ -258,11 +258,10 @@ def test_mesh_sharded_serving_matches_single_device(synth):
         np.testing.assert_allclose(ra.audio, rb.audio, atol=1e-5)
 
 
-def test_mesh_sharded_multispeaker_matches_single_device(synth):
-    """The sid path also shards over the mesh (sid is a [tier] array under
-    the batch sharding) — multi-speaker sharded output must match the
-    single-device path."""
-    from torch_tts_tpu.parallel.mesh import make_mesh
+@pytest.fixture(scope="module")
+def ms_setup(synth):
+    """Multi-speaker config + params sharing the base fixture's audio/data
+    settings."""
     from torch_tts_tpu.train.vits2_trainer import build_models
 
     cfg = dataclasses.replace(
@@ -277,7 +276,33 @@ def test_mesh_sharded_multispeaker_matches_single_device(synth):
     variables = model.init(rngs, x, jnp.asarray([8], jnp.int32),
                            sid=jnp.asarray([0], jnp.int32), max_frames=16,
                            method=SynthesizerTrn.infer)
-    params = variables["params"]
+    return cfg, variables["params"]
+
+
+def test_multispeaker_stream_matches_synthesize(ms_setup):
+    """Streaming carries the speaker embedding g through every window."""
+    cfg, params = ms_setup
+    s = Synthesizer(cfg, params, buckets=((16, 24), (80, 96)))
+    text = "hello there streaming world"
+    mono = s.synthesize([text], sid=[3], seed=9)[0].audio
+    cat = np.concatenate(
+        list(s.stream(text, sid=3, seed=9, chunk_frames=8))
+    )
+    assert cat.shape == mono.shape
+    np.testing.assert_allclose(cat, mono, atol=2e-5)
+    # a different speaker actually sounds different
+    other = np.concatenate(list(s.stream(text, sid=1, seed=9,
+                                         chunk_frames=8)))
+    assert not np.array_equal(cat, other)
+
+
+def test_mesh_sharded_multispeaker_matches_single_device(ms_setup):
+    """The sid path also shards over the mesh (sid is a [tier] array under
+    the batch sharding) — multi-speaker sharded output must match the
+    single-device path."""
+    from torch_tts_tpu.parallel.mesh import make_mesh
+
+    cfg, params = ms_setup
     buckets = ((16, 24),)
     base = Synthesizer(cfg, params, buckets=buckets, batch_tiers=(8,))
     msynth = Synthesizer(cfg, params, buckets=buckets, batch_tiers=(8,),
@@ -318,6 +343,11 @@ def test_split_for_synthesis_prefers_sentence_boundaries():
     # an unbreakable over-limit token raises
     with pytest.raises(ValueError, match="too long"):
         split_for_synthesis("supercalifragilistic", lambda s: len(s) <= 5)
+    # no-text-loss property: chunk words == original words, any limit
+    text2 = "one two three, four five. six seven! eight nine ten."
+    for limit in (8, 12, 20, 30, 100):
+        chunks = split_for_synthesis(text2, lambda s: len(s) <= limit)
+        assert " ".join(chunks).split() == text2.split(), limit
 
 
 def test_synthesize_long(synth):
