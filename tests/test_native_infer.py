@@ -74,6 +74,47 @@ def test_artifact_set_complete(artifacts):
     assert len(params) == int(meta["n_params"])
 
 
+def test_export_ingests_checkpoint(artifacts, tmp_path):
+    """--model-dir exports the CHECKPOINT's weights, not fresh ones: the
+    params.ttsb leaves must match the saved tree exactly."""
+    out, cfg_path = artifacts
+    from export_infer_artifacts import build
+
+    from torch_tts_tpu.infer.artifacts import read_ttsb
+    from torch_tts_tpu.train import checkpoint as ckpt
+
+    base = read_ttsb(os.path.join(out, "params.ttsb"))
+    # a checkpoint whose params differ recognizably from the host-random init
+    import yaml
+
+    from torch_tts_tpu.core.config import load_vits2_config
+    from torch_tts_tpu.models.vits2 import SynthesizerTrn
+    from torch_tts_tpu.train.vits2_trainer import build_models
+
+    cfg = load_vits2_config(cfg_path)
+    model, _, _ = build_models(cfg)
+    rngs = {"params": jax.random.PRNGKey(5), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, jnp.zeros((1, 8), jnp.int32),
+                           jnp.asarray([8], jnp.int32), max_frames=16,
+                           method=SynthesizerTrn.infer)
+    params = jax.tree.map(lambda a: a + 1.0, variables["params"])
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    ckpt.save_checkpoint(run_dir, 100, {"params_g": jax.device_get(params)})
+
+    out2 = str(tmp_path / "artifacts2")
+    build(out2, cfg_path, run_dir, pad_text=32, max_frames=48)
+    got = read_ttsb(os.path.join(out2, "params.ttsb"))
+    want = jax.tree_util.tree_flatten(params)[0]
+    assert len(got) == len(want)
+    changed = 0
+    for g, w, b in zip(got, want, base):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        changed += int(not np.array_equal(np.asarray(g), np.asarray(b)))
+    assert changed > 0  # actually different weights than the random export
+
+
 def test_native_text_encoder_matches_python(artifacts):
     """--encode-only runs the C++ cleaner + symbol lookup + blank
     interspersal with no PJRT; ids must match the Python frontend exactly
