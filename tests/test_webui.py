@@ -150,6 +150,23 @@ def test_tts_stream_long_text(server_url):
     assert len(pcm) > 0 and len(pcm) % 2 == 0
 
 
+def test_metrics_counters(server_url):
+    """/metrics reflects batcher traffic in Prometheus text format. Runs
+    after the other tests in this module, so counters are nonzero."""
+    urllib.request.urlopen(f"{server_url}/tts?text=hi&seed=2",
+                           timeout=300).read()
+    with urllib.request.urlopen(f"{server_url}/metrics", timeout=60) as r:
+        body = r.read().decode()
+    metrics = {l.split()[0]: float(l.split()[1])
+               for l in body.splitlines() if l and not l.startswith("#")}
+    assert metrics["tts_requests_total"] >= 1
+    assert metrics["tts_batches_total"] >= 1
+    assert metrics["tts_batched_requests_total"] >= metrics["tts_batches_total"]
+    assert metrics["tts_dispatch_ms_sum"] > 0
+    assert metrics["tts_compiled_executables"] >= 1
+    assert "# TYPE tts_queue_depth gauge" in body
+
+
 def test_index_form(server_url):
     with urllib.request.urlopen(server_url, timeout=60) as r:
         body = r.read()

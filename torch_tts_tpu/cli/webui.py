@@ -25,6 +25,8 @@ Endpoints (stdlib server):
                  full utterance is synthesized; over-bucket texts stream
                  sentence-by-sentence (stream_long)
   GET /healthz   -> JSON: buckets, batch tiers, compiled executables
+  GET /metrics   -> Prometheus text format: request/failure/batch counters,
+                 dispatch-time sum, queue depth, compiled executables
 
 Usage:
   python -m torch_tts_tpu.cli.webui -c config.yaml -m runs/ljspeech \
@@ -157,6 +159,19 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0"):
                     for a in chunks:
                         emit(a)
                 self.wfile.write(b"0\r\n\r\n")
+            elif url.path == "/metrics":
+                s = batcher.stats()
+                lines = []
+                for k, v in sorted(s.items()):
+                    name = f"tts_{k}"
+                    kind = ("gauge" if k == "queue_depth" else "counter")
+                    lines.append(f"# TYPE {name} {kind}")
+                    lines.append(f"{name} {v}")
+                lines.append("# TYPE tts_compiled_executables gauge")
+                lines.append(
+                    f"tts_compiled_executables {len(synth._infer_cache)}")
+                body = ("\n".join(lines) + "\n").encode()
+                self._send(200, body, "text/plain; version=0.0.4")
             elif url.path == "/healthz":
                 payload = {
                     "status": "ok",

@@ -122,7 +122,8 @@ class Synthesizer:
         self.buckets = sorted(buckets)
         self.batch_tiers = sorted(batch_tiers)
         self.model, _, _ = build_models(cfg)
-        self._infer_cache = {}
+        self._infer_cache = {}   # (tier, pad_text, max_frames) -> jit fn
+        self._aux_cache = {}     # streaming prefix fns / StreamingDecoders
         self._SynthesizerTrn = SynthesizerTrn
         self._jax = jax
 
@@ -373,7 +374,7 @@ class Synthesizer:
         """Cached jitted `infer_latents` per bucket (batch 1): the prefix of
         the streaming path (enc_p + duration + flow reverse)."""
         key = ("latents", pad_text, max_frames)
-        fn = self._infer_cache.get(key)
+        fn = self._aux_cache.get(key)
         if fn is None:
             jax = self._jax
             model, Synth = self.model, self._SynthesizerTrn
@@ -388,7 +389,7 @@ class Synthesizer:
                     rngs={"noise": rng},
                 )
 
-            self._infer_cache[key] = fn
+            self._aux_cache[key] = fn
         return fn
 
     def stream(
@@ -430,12 +431,12 @@ class Synthesizer:
         n_total = int(np.asarray(y_lengths)[0]) * hop
 
         dkey = ("streamdec", chunk_frames, context_frames)
-        sd = self._infer_cache.get(dkey)
+        sd = self._aux_cache.get(dkey)
         if sd is None:
             sd = StreamingDecoder(self.model, {"params": self.params},
                                   chunk_frames=chunk_frames,
                                   context_frames=context_frames)
-            self._infer_cache[dkey] = sd
+            self._aux_cache[dkey] = sd
         emitted = 0
         for piece in sd.stream(z, g, y_mask):
             a = np.asarray(piece)[0, :, 0]
@@ -537,8 +538,28 @@ class ContinuousBatcher:
         self._q: "queue.Queue[_Request]" = queue.Queue(max_queue)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "requests_total": 0,
+            "failures_total": 0,
+            "batches_total": 0,
+            "batched_requests_total": 0,
+            "dispatch_ms_sum": 0.0,
+        }
         if autostart:
             self.start()
+
+    def stats(self) -> dict:
+        """Snapshot of serving counters (plus live queue depth)."""
+        with self._stats_lock:
+            s = dict(self._stats)
+        s["queue_depth"] = self._q.qsize()
+        return s
+
+    def _count(self, **deltas) -> None:
+        with self._stats_lock:
+            for k, v in deltas.items():
+                self._stats[k] += v
 
     def start(self) -> None:
         if self._thread is None:
@@ -577,6 +598,7 @@ class ContinuousBatcher:
             future=fut,
         )
         self._q.put(req)
+        self._count(requests_total=1)
         return fut
 
     # -- worker ---------------------------------------------------------
@@ -614,6 +636,7 @@ class ContinuousBatcher:
                     bucket = self.synth._bucket_for(len(r.encoded))
                 except Exception as e:
                     r.future.set_exception(e)
+                    self._count(failures_total=1)
                     continue
                 gkey = (bucket, r.scales_key, r.sid is not None)
                 bins = groups.setdefault(gkey, [[]])
@@ -637,7 +660,11 @@ class ContinuousBatcher:
                         for r in bin_reqs:
                             if not r.future.done():
                                 r.future.set_exception(e)
+                        self._count(failures_total=len(bin_reqs))
                     dt = time.perf_counter() - t0
+                    self._count(batches_total=1,
+                                batched_requests_total=len(bin_reqs),
+                                dispatch_ms_sum=dt * 1e3)
                     log = logger.warning if dt > 2.0 else logger.debug
                     log("batch dispatch: B=%d bucket=%s %.0f ms",
                         len(bin_reqs), bucket, dt * 1e3)
