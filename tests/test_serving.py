@@ -319,6 +319,28 @@ def test_mesh_sharded_multispeaker_matches_single_device(ms_setup):
     assert not np.array_equal(a[0].audio, c[0].audio)
 
 
+def test_continuous_batcher_over_mesh(synth):
+    """The batcher loop drives mesh-sharded dispatches unchanged."""
+    from torch_tts_tpu.infer.serving import ContinuousBatcher
+    from torch_tts_tpu.parallel.mesh import make_mesh
+
+    msynth = Synthesizer(synth.cfg, synth.params, buckets=((16, 24),),
+                         batch_tiers=(8,), mesh=make_mesh())
+    # queue all three BEFORE starting the loop: one drain -> one group, so
+    # batch rows (and row-indexed noise draws) match the direct call, whose
+    # sort-by-length order equals this ascending submission order
+    cb = ContinuousBatcher(msynth, autostart=False)
+    futs = [cb.submit(t, seed=4) for t in ("hi", "yes", "hello")]
+    cb.start()
+    outs = [f.result(timeout=120) for f in futs]
+    cb.close()
+    assert all(len(o.audio) > 0 for o in outs)
+    # matches the direct mesh path (same tier, same seed, one group)
+    direct = msynth.synthesize(["hi", "yes", "hello"], seed=4)
+    for o, d in zip(outs, direct):
+        np.testing.assert_allclose(o.audio, d.audio, atol=1e-5)
+
+
 def test_mesh_default_tiers_scale_and_validate(synth):
     """Default batch tiers scale by mesh size (every tier splits evenly
     across chips); explicit non-divisible tiers are rejected."""
