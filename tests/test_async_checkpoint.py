@@ -116,3 +116,35 @@ def test_orbax_backend_sharded_state(tmp_path):
 def test_unknown_backend_raises():
     with pytest.raises(ValueError):
         AsyncCheckpointer("carrier-pigeon")
+
+
+def test_average_checkpoints(tmp_path):
+    """Uniform float averaging across checkpoints; ints from the last file;
+    subtree= restricts averaging to the given top-level key."""
+    import numpy as np
+
+    from torch_tts_tpu.train import checkpoint as ckpt
+
+    d = str(tmp_path / "avg")
+    for i, step in enumerate((10, 20, 30)):
+        tree = {
+            "params_g": {"w": np.full((2, 2), float(i), np.float32)},
+            "opt": {"mu": np.full((2,), float(10 * i), np.float32)},
+            "step": np.asarray(step, np.int32),
+        }
+        ckpt.save_checkpoint(d, step, tree, keep=5)
+    paths = ckpt.list_checkpoints(d)
+    assert len(paths) == 3
+    target = {
+        "params_g": {"w": np.zeros((2, 2), np.float32)},
+        "opt": {"mu": np.zeros((2,), np.float32)},
+        "step": np.asarray(0, np.int32),
+    }
+    out = ckpt.average_checkpoints(paths, target, subtree="params_g")
+    np.testing.assert_allclose(out["params_g"]["w"], 1.0)  # mean(0,1,2)
+    np.testing.assert_allclose(out["opt"]["mu"], 20.0)  # last, not averaged
+    assert int(out["step"]) == 30
+    # no subtree: every float leaf averaged
+    out2 = ckpt.average_checkpoints(paths, target)
+    np.testing.assert_allclose(out2["opt"]["mu"], 10.0)
+    assert int(out2["step"]) == 30

@@ -139,6 +139,41 @@ def test_from_run_dir_with_reference_pth(tmp_path, rng):
     assert len(r.audio) > 0
 
 
+def test_from_run_dir_average_last(tmp_path, synth):
+    """average_last=k loads the mean of the last k generator checkpoints."""
+    import yaml
+
+    from torch_tts_tpu.train import checkpoint as ckpt
+
+    cfg_dict = {
+        "data": {"text_cleaners": ["basic_cleaners"], "add_blank": True,
+                 "sampling_rate": 8000, "filter_length": 128,
+                 "hop_length": 64, "win_length": 128, "n_mel_channels": 20},
+        "model": {"inter_channels": 16, "hidden_channels": 16,
+                  "filter_channels": 32, "n_heads": 2, "n_layers": 1,
+                  "kernel_size": 3, "p_dropout": 0.1, "resblock": "2",
+                  "resblock_kernel_sizes": [3],
+                  "resblock_dilation_sizes": [[1, 3]],
+                  "upsample_rates": [8, 8], "upsample_initial_channel": 32,
+                  "upsample_kernel_sizes": [16, 16], "segment_size": 256},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+
+    base = jax.device_get(synth.params)
+    run_dir = str(tmp_path / "run")
+    ckpt.save_checkpoint(run_dir, 1, {"params_g": base})
+    plus2 = jax.tree.map(lambda a: a + 2.0, base)
+    ckpt.save_checkpoint(run_dir, 2, {"params_g": plus2})
+
+    s = Synthesizer.from_run_dir(cfg_path, run_dir, average_last=2,
+                                 buckets=((16, 24),))
+    got = np.asarray(s.params["enc_p"]["emb"]["embedding"])
+    want = np.asarray(base["enc_p"]["emb"]["embedding"]) + 1.0
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # Batch tiers (bounded executable cache) + continuous batching
 # ---------------------------------------------------------------------------

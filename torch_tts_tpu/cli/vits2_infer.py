@@ -32,6 +32,9 @@ def main():
     p.add_argument("--length-scale", type=float, default=1.0)
     p.add_argument("--max-frames", type=int, default=1000)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--average-last", type=int, default=1, metavar="K",
+                   help="load the uniform average of the last K generator "
+                        "checkpoints (inference smoothing; run dirs only)")
     p.add_argument("--long", action="store_true",
                    help="long-form mode: --text may be arbitrarily long; it "
                         "is split at sentence/clause boundaries, chunks are "
@@ -65,7 +68,8 @@ def main():
         from torch_tts_tpu.infer.serving import Synthesizer
 
         texts = [l.strip() for l in open(args.text_file) if l.strip()]
-        synth = Synthesizer.from_run_dir(args.config, args.model_dir)
+        synth = Synthesizer.from_run_dir(args.config, args.model_dir,
+                                         average_last=args.average_last)
         sids = [args.sid] * len(texts) if args.sid is not None else None
         results = synth.synthesize(
             texts, noise_scale=args.noise_scale,
@@ -85,7 +89,8 @@ def main():
     if args.long:
         from torch_tts_tpu.infer.serving import Synthesizer
 
-        synth = Synthesizer.from_run_dir(args.config, args.model_dir)
+        synth = Synthesizer.from_run_dir(args.config, args.model_dir,
+                                         average_last=args.average_last)
         r = synth.synthesize_long(
             args.text, pause_ms=args.pause_ms, sid=args.sid, seed=args.seed,
             noise_scale=args.noise_scale, noise_scale_w=args.noise_scale_w,
@@ -117,11 +122,15 @@ def main():
         path = ckpt.latest_checkpoint(path)
         if path is None:
             raise SystemExit(f"no checkpoint found in {args.model_dir}")
-    import flax
-
-    loaded = ckpt.restore_checkpoint(
-        path, {"params_g": variables["params"]}, lenient=True
-    )
+    if args.average_last > 1 and not args.model_dir.endswith(".msgpack"):
+        paths = ckpt.list_checkpoints(args.model_dir)[-args.average_last:]
+        loaded = ckpt.average_checkpoints(
+            paths, {"params_g": variables["params"]}, subtree="params_g"
+        )
+    else:
+        loaded = ckpt.restore_checkpoint(
+            path, {"params_g": variables["params"]}, lenient=True
+        )
     params = loaded["params_g"]
 
     if args.stream_chunk > 0:

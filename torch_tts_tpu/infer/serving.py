@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import bisect
 import logging
+import os
 import queue
 import threading
 from concurrent.futures import Future
@@ -128,8 +129,12 @@ class Synthesizer:
         self._jax = jax
 
     @classmethod
-    def from_run_dir(cls, config_path: str, model_dir: str, **kw):
-        """Load config + latest checkpoint (or a reference G_*.pth)."""
+    def from_run_dir(cls, config_path: str, model_dir: str,
+                     average_last: int = 1, **kw):
+        """Load config + latest checkpoint (or a reference G_*.pth).
+        average_last=k (run dirs only) loads the uniform average of the last
+        k generator checkpoints (checkpoint.average_checkpoints) — the
+        standard inference-smoothing trick."""
         import jax
         import jax.numpy as jnp
 
@@ -156,7 +161,15 @@ class Synthesizer:
             )
         else:
             latest = ckpt.latest_checkpoint(model_dir)
-            if latest:
+            if latest and average_last > 1:
+                paths = ckpt.list_checkpoints(model_dir)[-average_last:]
+                loaded = ckpt.average_checkpoints(
+                    paths, {"params_g": params}, subtree="params_g"
+                )
+                params = loaded["params_g"]
+                logger.info("averaged %d checkpoints: %s", len(paths),
+                            [os.path.basename(p) for p in paths])
+            elif latest:
                 loaded = ckpt.restore_checkpoint(latest, {"params_g": params})
                 params = loaded["params_g"]
             else:

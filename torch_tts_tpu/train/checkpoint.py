@@ -95,3 +95,49 @@ def restore_checkpoint(path: str, target: Any, lenient: bool = True) -> Any:
     target_state = serialization.to_state_dict(target)
     merged = _merge_lenient(target_state, raw) if lenient else raw
     return serialization.from_state_dict(target, merged)
+
+
+def average_checkpoints(paths: List[str], target: Any,
+                        subtree: Optional[str] = None) -> Any:
+    """Uniform average of float leaves across checkpoints (standard TTS
+    inference-smoothing trick; no reference counterpart — its utils.py loads
+    single files only). Non-float leaves (step counters, int buffers) are
+    taken from the LAST checkpoint. `subtree` restricts averaging to one
+    top-level key (e.g. "params_g") so optimizer state is never averaged;
+    the rest of the tree also comes from the last checkpoint."""
+    if not paths:
+        raise ValueError("average_checkpoints: no checkpoint paths given")
+    acc: Optional[Dict] = None
+    last = None
+    for p in paths:
+        with open(p, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        last = raw
+        part = raw[subtree] if subtree else raw
+        if acc is None:
+            acc = jax.tree.map(
+                lambda a: a.astype(np.float64)
+                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+                part,
+            )
+        else:
+            acc = jax.tree.map(
+                lambda s, a: s + a
+                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+                acc, part,
+            )
+    n = float(len(paths))
+    avg = jax.tree.map(
+        lambda s: (s / n).astype(np.float32)
+        if np.issubdtype(np.asarray(s).dtype, np.floating) else s,
+        acc,
+    )
+    merged = dict(last)
+    if subtree:
+        merged[subtree] = avg
+    else:
+        merged = avg
+    target_state = serialization.to_state_dict(target)
+    return serialization.from_state_dict(
+        target, _merge_lenient(target_state, merged)
+    )
