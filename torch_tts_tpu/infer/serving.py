@@ -268,7 +268,13 @@ class Synthesizer:
             x[:, 0] = 1
             out = fn(self.params, jnp.asarray(x),
                      jnp.ones((tier,), np.int32), None, scales, key)
-            jax.block_until_ready(out)
+            # fetch a tiny output rather than block_until_ready: on the
+            # tunneled axon backend block_until_ready returns after dispatch
+            # while the server-side compile/load finishes lazily — the first
+            # FETCH per executable then stalls for it (measured 8-80 s per
+            # program). Pulling y_lengths (a few bytes) forces completion so
+            # steady-state traffic truly never pays startup cost.
+            np.asarray(out[1])
 
         jobs = [(p, m, t) for p, m in (buckets or self.buckets)
                 for t in (tiers or self.batch_tiers)]
