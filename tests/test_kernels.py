@@ -101,6 +101,63 @@ def test_fused_taco_step_matches_ref(rng):
     np.testing.assert_allclose(np.asarray(ns2.w.sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_streamed_taco_step_matches_ref(rng):
+    """HBM-streamed variant (double-buffered weight DMA): exact vs the jnp
+    reference in fp32; dims chosen so 4*H spans multiple n_tile=128 DMA
+    tiles (the double-buffer loop actually rotates)."""
+    from torch_tts_tpu.kernels.taco_step import taco_step_ref, taco_step_streamed
+
+    y_in, state, memory, mmask, wts = make_taco_step_inputs(
+        rng, H1=96, H2=64)
+    y1, s1, ns1 = taco_step_ref(y_in, state, memory, mmask, wts)
+    y2, s2, ns2 = taco_step_streamed(y_in, state, memory, mmask, wts,
+                                     n_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5,
+                               atol=1e-5)
+    for a, b in zip(ns1, ns2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-5)
+    # the B=1 VPU-gemv formulation is numerically the same contraction
+    y_in1, state1, memory1, mmask1, _ = make_taco_step_inputs(
+        rng, B=1, H1=96, H2=64)
+    yr, sr, nsr = taco_step_ref(y_in1, state1, memory1, mmask1, wts)
+    yv, sv, nsv = taco_step_streamed(y_in1, state1, memory1, mmask1, wts,
+                                     n_tile=128, gemv="vpu", interpret=True)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yv), rtol=1e-5,
+                               atol=1e-5)
+    for a, b in zip(nsr, nsv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_streamed_taco_step_bf16_weights(rng):
+    """bf16 HBM weights halve the streamed bytes; outputs track the fp32
+    reference to bf16 tolerance (activations/state stay fp32)."""
+    import jax.numpy as jnp
+
+    from torch_tts_tpu.kernels.taco_step import (
+        TacoStepWeights, taco_step_ref, taco_step_streamed,
+    )
+
+    y_in, state, memory, mmask, wts = make_taco_step_inputs(
+        rng, H1=96, H2=64)
+    y1, s1, ns1 = taco_step_ref(y_in, state, memory, mmask, wts)
+    wts16 = TacoStepWeights(*[
+        w.astype(jnp.bfloat16) if name in
+        ("att_w_ih", "att_w_hh", "dec_w_ih", "dec_w_hh") else w
+        for name, w in zip(TacoStepWeights._fields, wts)
+    ])
+    y2, s2, ns2 = taco_step_streamed(y_in, state, memory, mmask, wts16,
+                                     n_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=0.1,
+                               atol=0.05)
+    for a, b in zip(ns1, ns2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.1,
+                                   atol=0.05)
+
+
 def test_fused_taco_step_matches_flax_cell(rng):
     """The kernel must reproduce the production flax cell (eval mode,
     dropout off)."""
