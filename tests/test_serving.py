@@ -62,6 +62,24 @@ def test_batched_bucketed_synthesis(synth):
     assert len(synth._infer_cache) <= 2
 
 
+def test_transfer_dtype_int16_vs_float32(synth):
+    """Default serving transfers 16-bit samples (half the device->host
+    bytes — the tunneled-backend bottleneck); audio must equal the float32
+    transfer path to half a 16-bit quantum and land exactly on the 16-bit
+    grid (so the WAV/PCM surfaces round-trip bit-exactly)."""
+    sf = Synthesizer(synth.cfg, synth.params, buckets=synth.buckets,
+                     transfer_dtype="float32")
+    text = "quantized transfer check"
+    a = synth.synthesize([text], seed=3)[0].audio
+    b = sf.synthesize([text], seed=3)[0].audio
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=0.5 / 32767 + 1e-7)
+    grid = a * 32767.0
+    np.testing.assert_allclose(grid, np.round(grid), atol=1e-3)
+    with pytest.raises(ValueError):
+        Synthesizer(synth.cfg, synth.params, transfer_dtype="int8")
+
+
 def test_determinism(synth):
     a = synth.synthesize(["hello world"], seed=3)[0].audio
     b = synth.synthesize(["hello world"], seed=3)[0].audio
@@ -290,7 +308,9 @@ def test_mesh_sharded_serving_matches_single_device(synth):
     b = msynth.synthesize(texts, seed=11)
     for ra, rb in zip(a, b):
         assert ra.audio.shape == rb.audio.shape and len(ra.audio) > 0
-        np.testing.assert_allclose(ra.audio, rb.audio, atol=1e-5)
+        # one 16-bit transfer quantum (3.05e-5): a float diff at a
+        # rounding boundary flips one LSB between the two paths
+        np.testing.assert_allclose(ra.audio, rb.audio, atol=3.2e-5)
 
 
 @pytest.fixture(scope="module")
@@ -324,7 +344,9 @@ def test_multispeaker_stream_matches_synthesize(ms_setup):
         list(s.stream(text, sid=3, seed=9, chunk_frames=8))
     )
     assert cat.shape == mono.shape
-    np.testing.assert_allclose(cat, mono, atol=2e-5)
+    # 4e-5: streaming tolerance (2e-5) + synthesize()'s 16-bit transfer
+    # quantization (1 LSB = 3.05e-5 half-width 1.5e-5; serving.py)
+    np.testing.assert_allclose(cat, mono, atol=4e-5)
     # a different speaker actually sounds different
     other = np.concatenate(list(s.stream(text, sid=1, seed=9,
                                          chunk_frames=8)))
@@ -348,7 +370,9 @@ def test_mesh_sharded_multispeaker_matches_single_device(ms_setup):
     b = msynth.synthesize(texts, sid=sids, seed=11)
     for ra, rb in zip(a, b):
         assert ra.audio.shape == rb.audio.shape and len(ra.audio) > 0
-        np.testing.assert_allclose(ra.audio, rb.audio, atol=1e-5)
+        # one 16-bit transfer quantum (3.05e-5): a float diff at a
+        # rounding boundary flips one LSB between the two paths
+        np.testing.assert_allclose(ra.audio, rb.audio, atol=3.2e-5)
     # speakers actually differ (sid is threaded, not ignored)
     c = msynth.synthesize(texts, sid=[0, 0, 0], seed=11)
     assert not np.array_equal(a[0].audio, c[0].audio)
@@ -373,7 +397,8 @@ def test_continuous_batcher_over_mesh(synth):
     # matches the direct mesh path (same tier, same seed, one group)
     direct = msynth.synthesize(["hi", "yes", "hello"], seed=4)
     for o, d in zip(outs, direct):
-        np.testing.assert_allclose(o.audio, d.audio, atol=1e-5)
+        # one 16-bit transfer quantum, see above
+        np.testing.assert_allclose(o.audio, d.audio, atol=3.2e-5)
 
 
 def test_mesh_default_tiers_scale_and_validate(synth):
@@ -435,7 +460,8 @@ def test_stream_matches_synthesize(synth):
     assert len(pieces) >= 2  # actually chunked
     cat = np.concatenate(pieces)
     assert cat.shape == mono.shape
-    np.testing.assert_allclose(cat, mono, atol=2e-5)
+    # streaming tolerance + synthesize()'s 16-bit transfer quantization
+    np.testing.assert_allclose(cat, mono, atol=4e-5)
 
 
 def test_stream_long_matches_per_chunk_synthesis(synth):
@@ -462,7 +488,8 @@ def test_stream_long_matches_per_chunk_synthesis(synth):
         list(synth.stream_long(long_text, pause_ms=50.0, seed=6))
     )
     assert cat.shape == expected.shape
-    np.testing.assert_allclose(cat, expected, atol=2e-5)
+    # streaming tolerance + synthesize()'s 16-bit transfer quantization
+    np.testing.assert_allclose(cat, expected, atol=4e-5)
 
 
 def test_warmup_compiles_full_grid(synth):

@@ -13,7 +13,14 @@ CLIs/web UI here share, designed for production serving on TPU:
   (padding rows are masked through the whole model and discarded),
 - continuous batching: `ContinuousBatcher` drains a request queue into the
   next dispatch, so concurrent callers share TPU batches instead of
-  serializing (the reference has no serving loop at all),
+  serializing (the reference has no serving loop at all); the loop runs a
+  one-deep dispatch pipeline — group k+1 executes on device while group
+  k's audio crosses the wire,
+- transfer-optimized results: every infer executable emits 16-bit samples
+  (half the device->host bytes; the wire is the serving bottleneck on
+  tunneled backends) in a ladder of quantized prefix views, so the host
+  fetches only the shortest prefix covering the batch's y_lengths and
+  never compiles per-shape slice programs,
 - explicit RNG (same seed -> same audio; NOTE the noise draw shapes include
   the batch tier, so determinism holds per (seed, tier), not across tiers),
 - multi-chip scale-out: pass a `jax.sharding.Mesh` and every executable is
@@ -96,6 +103,8 @@ class Synthesizer:
         buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
         batch_tiers: Optional[Sequence[int]] = None,
         mesh=None,
+        transfer_dtype: str = "int16",
+        slice_quanta: int = 8,
     ):
         import jax
 
@@ -119,6 +128,11 @@ class Synthesizer:
             raise ValueError(
                 f"batch tiers {bad} not divisible by mesh size {n_shard}"
             )
+        if transfer_dtype not in ("int16", "float32"):
+            raise ValueError(f"transfer_dtype must be int16/float32, "
+                             f"got {transfer_dtype!r}")
+        self.transfer_dtype = transfer_dtype
+        self.slice_quanta = int(slice_quanta)
         self.params = params
         self.buckets = sorted(buckets)
         self.batch_tiers = sorted(batch_tiers)
@@ -211,6 +225,11 @@ class Synthesizer:
             jax = self._jax
             model, Synth = self.model, self._SynthesizerTrn
 
+            import jax.numpy as jnp
+
+            Q = self.slice_quanta
+            chunk = max(1, (max_frames * self.cfg.audio.hop_length) // Q)
+
             def fn(params, x, x_lengths, sid, scales, rng):
                 audio, attn, y_mask, _aux, y_lengths = model.apply(
                     {"params": params}, x, x_lengths, sid=sid,
@@ -219,7 +238,25 @@ class Synthesizer:
                     max_frames=max_frames, method=Synth.infer,
                     rngs={"noise": rng},
                 )
-                return audio, y_lengths, attn
+                # Device->host transfer is THE serving bottleneck on
+                # tunneled backends (~10 MB/s measured; BASELINE.md), and a
+                # host-side `audio[:, :used]` eager slice compiles a fresh
+                # XLA program per shape (~10 s each through the tunnel's
+                # remote compile). Instead the executable itself emits Q
+                # quantized PREFIX views of the audio — device-side copies
+                # are ~0.1 ms — and the host fetches only the shortest
+                # prefix covering y_lengths: no per-shape slice programs
+                # ever, and (by default) 16-bit samples so the transfer
+                # bills half the bytes (the WAV/PCM surface is 16-bit
+                # anyway; float32 via transfer_dtype for exactness).
+                if self.transfer_dtype == "int16":
+                    audio = jnp.round(
+                        jnp.clip(audio, -1.0, 1.0) * 32767.0
+                    ).astype(jnp.int16)
+                prefixes = tuple(
+                    audio[:, : chunk * (q + 1)] for q in range(Q - 1)
+                ) + (audio,)
+                return prefixes, y_lengths, attn
 
             if self.mesh is None:
                 fn = jax.jit(fn)
@@ -235,7 +272,7 @@ class Synthesizer:
                 fn = jax.jit(
                     fn,
                     in_shardings=(rep, bs, bs, bs, rep, rep),
-                    out_shardings=(bs, bs, bs),
+                    out_shardings=((bs,) * Q, bs, bs),
                 )
             self._infer_cache[key] = fn
         return self._infer_cache[key]
@@ -305,6 +342,24 @@ class Synthesizer:
         """Synthesize one group of encoded texts (all in the same length
         bucket) with one executable call, padded up to the batch tier.
         Padding rows use a single blank token and are discarded."""
+        return self._collect_group(
+            self._dispatch_group(encoded, scales, key, sid=sid,
+                                 return_attn=return_attn)
+        )
+
+    def _dispatch_group(
+        self,
+        encoded: Sequence[List[int]],
+        scales,
+        key,
+        sid: Optional[Sequence[int]] = None,
+        return_attn: bool = False,
+    ) -> dict:
+        """Dispatch one group and sync on its (tiny) y_lengths fetch —
+        which forces device execution — WITHOUT fetching the audio. The
+        returned handle goes to `_collect_group`, so callers can overlap
+        the next group's dispatch/execution with this group's device->host
+        audio transfer (the serving bottleneck on tunneled backends)."""
         import jax.numpy as jnp
 
         pad_text, max_frames = self._bucket_for(max(len(e) for e in encoded))
@@ -320,29 +375,43 @@ class Synthesizer:
             sid_pad = list(sid) + [0] * (tier - B)
             sid_arr = jnp.asarray(sid_pad, jnp.int32)
         fn = self._infer_fn(tier, pad_text, max_frames)
-        audio, y_lengths, attn = fn(
+        prefixes, y_lengths, attn = fn(
             self.params, jnp.asarray(x), jnp.asarray(xl), sid_arr, scales, key
         )
-        # fetch y_lengths (tiny) first, then only the USED slice of the
-        # audio: padding rows and the padded tail never cross the wire.
-        # Device->host bandwidth is the serving bottleneck in tunneled
-        # setups (~23 MB/s measured, BASELINE.md); a full [tier, max_frames
-        # * hop] fetch bills up to the bucket's padding factor extra.
-        y_lengths = np.asarray(y_lengths)
+        return {
+            "prefixes": prefixes,
+            "y_lengths": np.asarray(y_lengths),
+            "attn": attn,
+            "B": B,
+            "max_frames": max_frames,
+            "return_attn": return_attn,
+        }
+
+    def _collect_group(self, h: dict) -> List[SynthesisResult]:
+        """Fetch the shortest audio prefix covering the group's y_lengths
+        and split it into per-request results. Only that prefix crosses the
+        wire (padding-row and padded-tail bytes beyond it never do), and no
+        host-side slice program is ever compiled — the prefixes are
+        outputs of the already-warmed executable."""
+        B, y_lengths = h["B"], h["y_lengths"]
         hop = self.cfg.audio.hop_length
         sr = self.cfg.audio.sampling_rate
-        # quantize the slice length to 1/8ths of the bucket so the eager
-        # slice op compiles at most 8 shapes per (bucket, tier), not one
-        # per distinct utterance length
-        step = max(1, max_frames * hop // 8)
-        used = max(1, int(y_lengths[:B].max())) * hop
-        used = min(max_frames * hop, -(-used // step) * step)
-        audio = np.asarray(audio[:B, :used])
+        prefixes = h["prefixes"]
+        full = h["max_frames"] * hop
+        chunk = max(1, full // len(prefixes))
+        used = min(full, max(1, int(y_lengths[:B].max())) * hop)
+        audio = np.asarray(prefixes[min(len(prefixes) - 1,
+                                        (used - 1) // chunk)])
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32767.0
+        # debug path: fetch attn as ONE whole-array transfer (a per-row
+        # eager slice would compile a program per row index)
+        attn = np.asarray(h["attn"]) if h["return_attn"] else None
         return [
             SynthesisResult(
                 audio=audio[row, : int(y_lengths[row]) * hop, 0],
                 sample_rate=sr,
-                attn=np.asarray(attn[row]) if return_attn else None,
+                attn=attn[row] if attn is not None else None,
             )
             for row in range(B)
         ]
@@ -379,12 +448,18 @@ class Synthesizer:
             else:
                 groups.append([i])
 
-        for group in groups:
-            out = self._run_group(
+        # dispatch every group before collecting any: device execution of
+        # group k+1 overlaps the device->host audio transfer of group k
+        handles = [
+            (group, self._dispatch_group(
                 [encoded[i] for i in group], scales, jax.random.PRNGKey(seed),
                 sid=[sid[i] for i in group] if sid is not None else None,
                 return_attn=return_attn,
-            )
+            ))
+            for group in groups
+        ]
+        for group, h in handles:
+            out = self._collect_group(h)
             for row, i in enumerate(group):
                 results[i] = out[row]
         return results  # type: ignore[return-value]
@@ -641,9 +716,41 @@ class ContinuousBatcher:
         import jax
         import jax.numpy as jnp
 
+        # one-deep dispatch pipeline: the previous group's device->host
+        # audio transfer (the dominant steady-state cost through the
+        # tunnel) is collected AFTER the next group has been dispatched,
+        # so device execution and host transfer overlap. `pending` is the
+        # one in-flight (handle, requests, bucket, t0); it is collected
+        # when the next group dispatches, when the queue goes idle, or on
+        # shutdown — a future can therefore wait at most one drain
+        # timeout (50 ms) beyond its transfer.
+        pending = None
+
+        def collect(p):
+            h, bin_reqs, bucket, t0 = p
+            try:
+                out = self.synth._collect_group(h)
+                for r, res in zip(bin_reqs, out):
+                    r.future.set_result(res)
+            except Exception as e:  # surface the error to callers
+                for r in bin_reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                self._count(failures_total=len(bin_reqs))
+            dt = time.perf_counter() - t0
+            self._count(batches_total=1,
+                        batched_requests_total=len(bin_reqs),
+                        dispatch_ms_sum=dt * 1e3)
+            log = logger.warning if dt > 2.0 else logger.debug
+            log("batch dispatch: B=%d bucket=%s %.0f ms",
+                len(bin_reqs), bucket, dt * 1e3)
+
         while not self._stop.is_set():
             reqs = self._drain()
             if not reqs:
+                if pending is not None:
+                    collect(pending)
+                    pending = None
                 continue
             # group by (bucket, scales, multispeaker-ness); cap at max tier.
             # Per-request failures (e.g. text longer than the largest
@@ -667,23 +774,22 @@ class ContinuousBatcher:
                 for bin_reqs in bins:
                     t0 = time.perf_counter()
                     try:
-                        out = self.synth._run_group(
+                        h = self.synth._dispatch_group(
                             [r.encoded for r in bin_reqs],
                             scales,
                             jax.random.PRNGKey(bin_reqs[0].seed),
                             sid=[r.sid for r in bin_reqs] if has_sid else None,
                         )
-                        for r, res in zip(bin_reqs, out):
-                            r.future.set_result(res)
-                    except Exception as e:  # surface the error to callers
+                    except Exception as e:
                         for r in bin_reqs:
                             if not r.future.done():
                                 r.future.set_exception(e)
-                        self._count(failures_total=len(bin_reqs))
-                    dt = time.perf_counter() - t0
-                    self._count(batches_total=1,
-                                batched_requests_total=len(bin_reqs),
-                                dispatch_ms_sum=dt * 1e3)
-                    log = logger.warning if dt > 2.0 else logger.debug
-                    log("batch dispatch: B=%d bucket=%s %.0f ms",
-                        len(bin_reqs), bucket, dt * 1e3)
+                        self._count(failures_total=len(bin_reqs),
+                                    batches_total=1,
+                                    batched_requests_total=len(bin_reqs))
+                        continue
+                    if pending is not None:
+                        collect(pending)
+                    pending = (h, bin_reqs, bucket, t0)
+        if pending is not None:
+            collect(pending)
