@@ -505,6 +505,18 @@ def test_warmup_compiles_full_grid(synth):
     assert len(synth._infer_cache) == n
 
 
+def test_warmup_streaming_covers_stream_path(synth):
+    """warmup_streaming() populates the latents-prefix fn per bucket and
+    the StreamingDecoder, so a following stream() adds no new programs."""
+    ns = synth.warmup_streaming()
+    assert ns == len(synth.buckets)
+    before = set(synth._aux_cache.keys())
+    assert any(k[0] == "latents" for k in before)
+    assert any(k[0] == "streamdec" for k in before)
+    list(synth.stream("hello there streaming world", seed=2))
+    assert set(synth._aux_cache.keys()) == before
+
+
 def test_continuous_batcher_survives_oversized_request(synth):
     """A request longer than the largest bucket fails ITS future with
     ValueError; the loop thread survives and keeps serving (it previously

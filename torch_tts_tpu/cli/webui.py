@@ -215,7 +215,9 @@ def main():
     synth = Synthesizer.from_run_dir(args.config, args.model_dir)
     if args.warmup:
         n = synth.warmup()
-        logger.info("warmup: %d executables compiled", n)
+        ns = synth.warmup_streaming()
+        logger.info("warmup: %d batch executables + streaming path for "
+                    "%d buckets", n, ns)
 
     try:
         import gradio as gr  # pragma: no cover - not in this image

@@ -323,6 +323,28 @@ class Synthesizer:
                 list(ex.map(one, jobs))  # list() re-raises worker errors
         return len(self._infer_cache)
 
+    def warmup_streaming(
+        self,
+        chunk_frames: int = 64,
+        context_frames: int = 32,
+        buckets: Optional[Sequence[Tuple[int, int]]] = None,
+    ) -> int:
+        """Precompile and force-complete the STREAMING path's executables
+        (the batch-1 latents prefix per bucket + the StreamingDecoder
+        window programs), so the first /tts_stream request doesn't pay the
+        tunneled backend's server-side compile/load stall. Exhausting each
+        bucket's stream naturally fetches every chunk, which forces
+        completion the same way warmup()'s tiny fetch does. Returns the
+        number of buckets warmed."""
+        done = 0
+        for pad_text, _mf in (buckets or self.buckets):
+            # an id list of exactly the bucket's text length pins the bucket
+            for _ in self._stream_ids([1] * pad_text, chunk_frames,
+                                      context_frames, seed=0):
+                pass
+            done += 1
+        return done
+
     def encode_text(self, text: str) -> List[int]:
         from torch_tts_tpu.text import intersperse, text_to_sequence
 
@@ -503,12 +525,29 @@ class Synthesizer:
         1.5 s first chunk, BASELINE.md TTFA table). Concatenated chunks are
         numerically identical (2e-5) to `synthesize([text])[0].audio` — same
         bucket, same seed, same exact-length semantics."""
+        return self._stream_ids(
+            self.encode_text(text), chunk_frames, context_frames,
+            noise_scale, length_scale, noise_scale_w, sid, seed,
+        )
+
+    def _stream_ids(
+        self,
+        encoded: List[int],
+        chunk_frames: int = 64,
+        context_frames: int = 32,
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_scale_w: float = 0.8,
+        sid: Optional[int] = None,
+        seed: int = 1234,
+    ):
+        """stream() on pre-encoded ids (also the warmup entry: an id list
+        of exactly a bucket's text length pins that bucket)."""
         import jax
         import jax.numpy as jnp
 
         from torch_tts_tpu.infer.streaming import StreamingDecoder
 
-        encoded = self.encode_text(text)
         pad_text, max_frames = self._bucket_for(len(encoded))
         x = np.zeros((1, pad_text), np.int32)
         x[0, : len(encoded)] = encoded
