@@ -57,7 +57,7 @@ def wav_bytes(audio, sample_rate: int) -> bytes:
     from scipy.io import wavfile
 
     buf = io.BytesIO()
-    wav = (np.clip(audio, -1.0, 1.0) * 32767).astype(np.int16)
+    wav = np.round(np.clip(audio, -1.0, 1.0) * 32767).astype(np.int16)
     wavfile.write(buf, sample_rate, wav)
     return buf.getvalue()
 
@@ -149,7 +149,7 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0"):
                 self.end_headers()
 
                 def emit(a) -> None:
-                    pcm = (np.clip(a, -1.0, 1.0) * 32767).astype("<i2").tobytes()
+                    pcm = np.round(np.clip(a, -1.0, 1.0) * 32767).astype("<i2").tobytes()
                     self.wfile.write(f"{len(pcm):x}\r\n".encode())
                     self.wfile.write(pcm)
                     self.wfile.write(b"\r\n")

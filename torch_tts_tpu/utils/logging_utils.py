@@ -57,7 +57,7 @@ def _add_audio(writer, tag: str, wav: np.ndarray, global_step: int,
 
     wav = np.clip(np.asarray(wav, np.float32).reshape(-1), -1.0, 1.0)
     buf = io.BytesIO()
-    wavfile.write(buf, sample_rate, (wav * 32767.0).astype(np.int16))
+    wavfile.write(buf, sample_rate, np.round(np.clip(wav, -1.0, 1.0) * 32767.0).astype(np.int16))
     audio = Summary.Audio(
         sample_rate=sample_rate,
         num_channels=1,
