@@ -3,9 +3,12 @@
 Equivalent of `python tacotron/inference.py "text" config.yaml [flags]`
 (/root/reference/tacotron/inference.py): encode text, run the AR decoder to
 max_steps, then synthesize audio either via mel inversion + Griffin-Lim
-(synth_audio, :13-22) or hand the mel to an external vocoder file. Also
-supports a `--ref` style-audio input for VAE-conditioned models and attention
-plot dumps.
+(synth_audio, :13-22) or — with `--vocoder artifact.msgpack` — hand the mel
+to a neural vocoder (synth_audio_vocoder, :25-34: affine renorm + vocoder
+forward + peak normalize; ours loads an in-house HiFi-GAN artifact from
+infer/vocoder.py instead of a TorchScript blob, trainable via
+cli/vocoder_train.py). Also supports a `--ref` style-audio input for
+VAE-conditioned models and attention plot dumps.
 """
 
 from __future__ import annotations
@@ -24,6 +27,10 @@ def main():
     p.add_argument("--ref", default=None, help="reference wav for style (VAE models)")
     p.add_argument("--plot", default=None, help="write attention plot PNG here")
     p.add_argument("--griffin-lim-iters", type=int, default=32)
+    p.add_argument("--vocoder", default=None, metavar="ARTIFACT",
+                   help="neural-vocoder artifact (infer/vocoder.py msgpack, "
+                        "from cli/vocoder_train.py); replaces Griffin-Lim "
+                        "(reference inference.py:82-87)")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -84,9 +91,22 @@ def main():
     n_groups = int(np.asarray(aux["stop_lengths"])[0])
     mel = y_post[0, : n_groups * cfg.model.r]  # [T, M], network domain
 
-    # synth_audio path: m_rev -> mel inversion -> Griffin-Lim
-    D_db = fe.mel_inv(m_rev(mel))
-    wav = np.asarray(fe.decode(D_db, n_iter=args.griffin_lim_iters))
+    if args.vocoder:
+        # synth_audio_vocoder path (inference.py:25-34): affine renorm +
+        # neural vocoder + peak normalize
+        from torch_tts_tpu.infer.vocoder import load_vocoder
+
+        voc = load_vocoder(args.vocoder)
+        if voc.num_mels != cfg.audio.num_mels:
+            raise SystemExit(
+                f"vocoder expects {voc.num_mels} mels, config has "
+                f"{cfg.audio.num_mels}"
+            )
+        wav = voc.synth(mel)[0]
+    else:
+        # synth_audio path: m_rev -> mel inversion -> Griffin-Lim
+        D_db = fe.mel_inv(m_rev(mel))
+        wav = np.asarray(fe.decode(D_db, n_iter=args.griffin_lim_iters))
     wav = wav / max(1e-6, np.abs(wav).max()) * 0.9
     wavfile.write(args.output, cfg.audio.sample_rate,
                   (wav * 32767).astype(np.int16))
