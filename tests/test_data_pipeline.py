@@ -112,3 +112,57 @@ def test_tacotron_length_bucket_sampler():
     for b in batches:
         vals = [lengths[i] for i in b]
         assert max(vals) - min(vals) <= 8
+
+
+def test_concat_datasets_sid_offset(tmp_path, rng):
+    """ConcatDataset parity (/root/reference/vits2/cli.py:92-100) plus the
+    per-corpus speaker-id offsetting the multi-corpus CLI uses."""
+    audio = AudioConfig(sampling_rate=22050)
+    data = DataConfig(text_cleaners=("basic_cleaners",))
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    items_a = make_wav_dataset(tmp_path / "a", rng, n=5)
+    items_b = make_wav_dataset(tmp_path / "b", rng, n=4)
+    for i, it in enumerate(items_a):
+        it.sid = i % 2  # corpus A has speakers {0, 1}
+    ds_a = TextAudioDataset(items_a, audio, data)
+    ds_b = TextAudioDataset(items_b, audio, data)  # all sid 0
+
+    plain = TextAudioDataset.concat([ds_a, ds_b], audio, data)
+    assert len(plain) == 9
+    assert [it.sid for it in plain.items] == [0, 1, 0, 1, 0, 0, 0, 0, 0]
+    # lengths table spans both corpora (bucketing sees one corpus)
+    assert plain.lengths == ds_a.lengths + ds_b.lengths
+
+    off = TextAudioDataset.concat([ds_a, ds_b], audio, data, sid_offset=True)
+    # corpus B's speaker 0 is shifted above corpus A's max (1) -> 2
+    assert [it.sid for it in off.items] == [0, 1, 0, 1, 0, 2, 2, 2, 2]
+    # items are copies: the source datasets are untouched
+    assert [it.sid for it in ds_b.items] == [0, 0, 0, 0]
+    # features still load through the concatenated view
+    s = off[5]
+    assert int(s["sid"]) == 2 and s["spec"].shape[1] == 80
+
+
+def test_concat_buckets_mix_corpora(tmp_path, rng):
+    """Bucketed batches must interleave corpora, not iterate them serially —
+    both corpora have the same length profile, so every bucket should draw
+    from both."""
+    audio = AudioConfig(sampling_rate=22050)
+    data = DataConfig(text_cleaners=("basic_cleaners",))
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    ds_a = TextAudioDataset(make_wav_dataset(tmp_path / "a", rng, n=10), audio, data)
+    ds_b = TextAudioDataset(make_wav_dataset(tmp_path / "b", rng, n=10), audio, data)
+    both = TextAudioDataset.concat([ds_a, ds_b], audio, data)
+
+    s = DistributedBucketSampler(
+        both.lengths, batch_size=4, boundaries=[1, 200], num_replicas=1,
+        rank=0, shuffle=True,
+    )
+    s.set_epoch(0)
+    mixed = 0
+    for _pad, batch in s:
+        from_a = sum(1 for i in batch if i < 10)
+        mixed += 1 if 0 < from_a < len(batch) else 0
+    assert mixed >= 2  # most batches mix corpora

@@ -14,7 +14,7 @@ Unlike the torch DataLoader path, collation pads every batch to its bucket's
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -83,6 +83,35 @@ class TextAudioDataset:
                     items.append(
                         Item(os.path.basename(parts[0]), parts[0], parts[2], int(parts[1]))
                     )
+        return cls(items, audio, data, **kw)
+
+    @classmethod
+    def concat(
+        cls,
+        datasets: Sequence["TextAudioDataset"],
+        audio: AudioConfig,
+        data: DataConfig,
+        sid_offset: bool = False,
+        **kw,
+    ) -> "TextAudioDataset":
+        """ConcatDataset parity (/root/reference/vits2/cli.py:92-100): chain
+        several corpora into one dataset; length-bucketing then mixes corpora
+        naturally since all items share one length table.
+
+        With ``sid_offset``, each corpus's speaker ids are shifted above the
+        previous corpora's max id, so e.g. several single-speaker corpora
+        become speakers 0..K-1 of one multi-speaker run (the reference keeps
+        raw sids, which collide across filelists).
+        """
+        items: List[Item] = []
+        offset = 0
+        for ds in datasets:
+            mx = -1
+            for it in ds.items:
+                items.append(replace(it, sid=it.sid + offset) if sid_offset else it)
+                mx = max(mx, it.sid)
+            if sid_offset:
+                offset += mx + 1
         return cls(items, audio, data, **kw)
 
     def __len__(self):
