@@ -90,3 +90,79 @@ def test_stress_single_primary_per_word():
     out = phonemize_en("synthesis university", with_stress=True)
     for word in out.split():
         assert word.count("ˈ") <= 1, out
+
+
+# ---------------------------------------------------------------------------
+# Accuracy vs a bundled CMUdict-style gold sample (round-3 verdict item 7:
+# make "approximate G2P" a number). tests/data/cmudict_sample.txt holds 254
+# public-domain cmudict-0.7b-convention transcriptions: ~160 high-frequency
+# words (mostly lexicon hits) + ~90 rule-engine stress cases (silent letters,
+# -ough, soft c/g, ie/ei, morphological tails). Measured on this sample
+# (scripts/g2p_eval.py prints the same table):
+#
+#   subset    n    word-acc   word-acc(no stress)   phone-error-rate
+#   all      254     0.854          0.882                0.048
+#   lexicon  162     0.988          0.994                0.002
+#   rules     92     0.620          0.685                0.107
+#
+# So espeak-checkpoint users see ~5% phone-level mismatch on running text
+# (lexicon coverage dominates); novel words carry ~11% PER. The asserts pin
+# floors with modest headroom so lexicon/rule regressions fail loudly.
+# ---------------------------------------------------------------------------
+
+
+def _gold_sample():
+    path = os.path.join(os.path.dirname(__file__), "data", "cmudict_sample.txt")
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            w, gold = line.rstrip("\n").split("\t")
+            rows.append((w, gold.split()))
+    return rows
+
+
+def _strip_stress(phones):
+    import re
+
+    return [re.sub(r"\d", "", p) for p in phones]
+
+
+def _edit_distance(a, b):
+    d = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, len(b) + 1):
+            cur = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev, d[j] = d[j], cur
+    return d[len(b)]
+
+
+def test_g2p_accuracy_vs_cmudict_sample():
+    from torch_tts_tpu.text.g2p import LEXICON
+
+    rows = _gold_sample()
+    assert len(rows) >= 250
+    stats = {}
+    for subset in ("all", "lexicon", "rules"):
+        sel = [
+            (w, g) for w, g in rows
+            if subset == "all" or (subset == "lexicon") == (w in LEXICON)
+        ]
+        exact = exact_ns = per_num = per_den = 0
+        for w, g in sel:
+            p = word_to_arpabet(w)
+            exact += p == g
+            exact_ns += _strip_stress(p) == _strip_stress(g)
+            per_num += _edit_distance(_strip_stress(p), _strip_stress(g))
+            per_den += len(g)
+        stats[subset] = (exact / len(sel), exact_ns / len(sel),
+                         per_num / per_den)
+
+    acc, acc_ns, per = stats["all"]
+    assert acc >= 0.80 and acc_ns >= 0.84 and per <= 0.08, stats
+    acc, acc_ns, per = stats["lexicon"]
+    assert acc >= 0.97 and per <= 0.01, stats
+    acc, acc_ns, per = stats["rules"]
+    assert acc_ns >= 0.60 and per <= 0.15, stats
