@@ -253,3 +253,22 @@ def test_tacotron_infer_cli_vocoder(trained, tmp_path, monkeypatch):
     sr, data = wavfile.read(out)
     assert sr == 8000
     assert data.size >= 32  # at least one decoder group of audio
+
+
+def test_vocoder_stablehlo_export(trained, tmp_path):
+    """jax.export round-trip: the serialized vocoder reproduces synth's
+    pre-normalization waveform (same artifact family as infer/export.py)."""
+    from torch_tts_tpu.infer.vocoder import export_vocoder_stablehlo
+    from torch_tts_tpu.infer.export import load_exported
+
+    _fe, _wav, mel, params, _mel_fn = trained
+    voc = Vocoder(params=params, gen_kwargs=GEN_KWARGS,
+                  sample_rate=8000, num_mels=20)
+    path = str(tmp_path / "voc.stablehlo")
+    blob = export_vocoder_stablehlo(voc, max_frames=16, path=path)
+    assert os.path.getsize(path) == len(blob) > 0
+
+    m = jnp.asarray(mel[:16])[None]
+    got = np.asarray(load_exported(path).call(m))
+    want = voc.synth(mel[:16], normalize=False)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
