@@ -38,6 +38,12 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running lockstep/calibration-scale test"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

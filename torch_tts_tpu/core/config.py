@@ -63,6 +63,10 @@ class VITS2ModelConfig:
     n_speakers: int = 0
     gin_channels: int = 0
     use_sdp: bool = True
+    # the reference hardcodes p=0.5 inside both duration predictors
+    # (models.py:1203-1208) independent of p_dropout; configurable here so
+    # lockstep parity tests can zero the one un-injectable noise source
+    dp_dropout: float = 0.5
     use_spk_conditioned_encoder: bool = False
     use_transformer_flows: bool = True
     transformer_flow_type: str = "pre_conv"

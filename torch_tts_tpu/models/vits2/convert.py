@@ -442,6 +442,27 @@ def export_mpd_torch_state_dict(params: Dict[str, Any],
     return out
 
 
+def export_dur_disc_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Flax DurationDiscriminatorV1 params -> reference torch state_dict
+    (/root/reference/vits2/models.py:183-257).
+
+    The torch module also instantiates pre_out_norm_1/2 LayerNorms that its
+    forward never uses (commented out at models.py:227-231,235-239); they have
+    no flax counterpart, so a `load_state_dict(strict=False)` will report
+    exactly {pre_out_norm_1,pre_out_norm_2}.{gamma,beta} missing — harmless.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for name in ("conv_1", "conv_2", "dur_proj", "pre_out_conv_1",
+                 "pre_out_conv_2"):
+        t = params[name]
+        out[f"{name}.weight"] = _t(t["kernel"]).transpose(2, 1, 0)
+        out[f"{name}.bias"] = _t(t["bias"])
+    # torch: nn.Sequential(nn.Linear, nn.Sigmoid) -> keys output_layer.0.*
+    out["output_layer.0.weight"] = _t(params["output_layer"]["kernel"]).T
+    out["output_layer.0.bias"] = _t(params["output_layer"]["bias"])
+    return out
+
+
 def export_torch_state_dict(params: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
     """Inverse direction: flax params -> reference-format torch state_dict
     (so models trained here can be consumed by reference tooling). Walks the

@@ -596,10 +596,13 @@ class SynthesizerTrn(nn.Module):
         )
         if c.use_sdp:
             self.dp = StochasticDurationPredictor(
-                c.hidden_channels, 192, 3, 0.5, 4, gin_channels=c.gin_channels
+                c.hidden_channels, 192, 3, c.dp_dropout, 4,
+                gin_channels=c.gin_channels,
             )
         else:
-            self.dp = DurationPredictor(256, 3, 0.5, gin_channels=c.gin_channels)
+            self.dp = DurationPredictor(
+                256, 3, c.dp_dropout, gin_channels=c.gin_channels
+            )
         if c.n_speakers > 1:
             self.emb_g = Embed(c.n_speakers, c.gin_channels)
 
