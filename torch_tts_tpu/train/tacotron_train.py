@@ -179,11 +179,18 @@ class TacotronTrainer:
         log_interval: int = 10,
     ):
         step = int(jax.device_get(self.state.step)) if self.state is not None else 0
-        for epoch in range(num_epochs):
+        # epoch-boundary-exact resume, same discipline as VITS2Trainer: the
+        # per-step key is derived (fold_in(seed, step)), and when the batch
+        # schedule is sized the epoch loop fast-forwards past completed epochs
+        try:
+            start_epoch = step // max(1, len(train_batches))
+        except TypeError:
+            start_epoch = 0
+        for epoch in range(start_epoch, num_epochs):
             for batch in train_batches:
                 if self.state is None:
                     self.setup(batch)
-                self.rng, sub = jax.random.split(self.rng)
+                sub = jax.random.fold_in(self.rng, step)
                 self.state, metrics = self.step_fn(self.state, batch, sub)
                 step += 1
                 if step % log_interval == 0:

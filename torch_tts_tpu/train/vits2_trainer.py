@@ -200,6 +200,17 @@ class VITS2Trainer:
         cfg = self.cfg
         epochs = epochs or cfg.train.epochs
         step = int(jax.device_get(self.state.step))
+        # Resume is TRAJECTORY-EXACT at epoch boundaries: the per-step key is
+        # fold_in(seed_key, state.step) (derived, not sequentially split — a
+        # restored process rebuilds the identical stream), the sampler's
+        # schedule is a pure function of (epoch, seed), and the epoch loop
+        # restarts below at the epoch the restored step count implies. A
+        # mid-epoch checkpoint rounds DOWN: the partial epoch is replayed
+        # (same epoch-level granularity as the reference's
+        # utils.load_checkpoint/epoch_str resume, vits2/train.py:255-263).
+        # Verified bit-exact: tests/test_trainers_e2e.py
+        # ::test_vits2_trainer_resume_trajectory_exact.
+        start_epoch = step // max(1, len(self.sampler))
         t_last = time.perf_counter()
         profiling = False
         # device-side skip counter; starts as a python float so the first add
@@ -207,7 +218,7 @@ class VITS2Trainer:
         # a process-local zeros(()) would clash with global arrays on
         # multi-host
         nonfinite_acc = 0.0
-        for epoch in range(1, epochs + 1):
+        for epoch in range(start_epoch + 1, epochs + 1):
             self.sampler.set_epoch(epoch)
             if self.use_native_loader:
                 epoch_iter = self._native_epoch(self.sampler)
@@ -221,7 +232,10 @@ class VITS2Trainer:
                         profile_dir or os.path.join(self.model_dir, "profile")
                     )
                     profiling = True
-                self.rng, sub = jax.random.split(self.rng)
+                # derived, not split: fold_in(seed, step) rebuilds the same
+                # stream after a resume (the jitted step folds state.step in
+                # again — harmless double discrimination)
+                sub = jax.random.fold_in(self.rng, step)
                 new_state, metrics = self.step_fn(self.state, batch, sub)
                 # failure detection the reference lacks (SURVEY.md §5): the
                 # jitted step itself drops non-finite updates
