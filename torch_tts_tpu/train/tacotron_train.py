@@ -203,8 +203,13 @@ class TacotronTrainer:
     def evaluate(self, eval_batches, step: int):
         losses = []
         w_last = None
-        for batch in eval_batches:
-            self.rng, sub = jax.random.split(self.rng)
+        # derived eval keys: evaluation must not advance the training rng
+        # stream (it would make the trajectory depend on eval cadence and
+        # break trajectory-exact resume)
+        # offset into the upper uint32 half: disjoint from train-step folds
+        eval_key = jax.random.fold_in(self.rng, 2**31 + step)
+        for i, batch in enumerate(eval_batches):
+            sub = jax.random.fold_in(eval_key, i)
             metrics, w = self.eval_fn(self.state, batch, sub)
             losses.append(float(metrics["loss"]))
             w_last = w
