@@ -171,3 +171,106 @@ def test_index_form(server_url):
     with urllib.request.urlopen(server_url, timeout=60) as r:
         body = r.read()
     assert b"<form" in body
+
+
+@pytest.fixture(scope="module")
+def taco_server_url():
+    """Server with BOTH model families: /tts (VITS2 batcher) + /tts_taco
+    (AR tacotron with the fused neural vocoder)."""
+    from torch_tts_tpu.core.config import (
+        TacotronAudioConfig,
+        TacotronConfig,
+        TacotronModelConfig,
+        TacotronTextConfig,
+    )
+    from torch_tts_tpu.infer.taco_serving import TacotronSynthesizer
+    from torch_tts_tpu.infer.vocoder import Vocoder
+    from torch_tts_tpu.models.tacotron import build_tacotron
+    from torch_tts_tpu.ops.hifigan import Generator
+
+    tcfg = TacotronConfig(
+        audio=TacotronAudioConfig(sample_rate=8000, hop_length=32,
+                                  win_length=128, num_mels=20,
+                                  fmin=0.0, fmax=3800.0),
+        text=TacotronTextConfig(),
+        model=TacotronModelConfig(
+            encoder_type="tacotron2", dim_emb=16, dim_out=16,
+            decoder_type="tacotron2", r=2, dim_pre=8, dim_att=16,
+            dim_rnn=(16, 16), postnet_type=None,
+        ),
+    )
+    model = build_tacotron(tcfg)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(
+        rngs, jnp.zeros((1, 8), jnp.int32), jnp.asarray([8], jnp.int32),
+        jnp.zeros((1, 4, 20)), train=True, deterministic=False,
+    )
+    gk = dict(resblock="2", resblock_kernel_sizes=(3,),
+              resblock_dilation_sizes=((1, 3),), upsample_rates=(4, 4, 2),
+              upsample_initial_channel=16, upsample_kernel_sizes=(8, 8, 4))
+    voc = Vocoder(
+        params=Generator(**gk).init(
+            {"params": jax.random.PRNGKey(7)}, jnp.zeros((1, 8, 20))
+        )["params"],
+        gen_kwargs=gk, sample_rate=8000, num_mels=20,
+    )
+    taco = TacotronSynthesizer(tcfg, variables, vocoder=voc,
+                               buckets=((32, 16),), batch_tiers=(1,))
+
+    # minimal VITS2 synth (reuses the same tiny recipe as server_url)
+    model_cfg = VITS2ModelConfig(
+        inter_channels=16, hidden_channels=16, filter_channels=32, n_heads=2,
+        n_layers=1, kernel_size=3, p_dropout=0.1, resblock="2",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(8, 8), upsample_initial_channel=32,
+        upsample_kernel_sizes=(16, 16), segment_size=4 * HOP,
+    )
+    audio = AudioConfig(sampling_rate=8000, filter_length=128, hop_length=HOP,
+                        win_length=128, n_mel_channels=20)
+    cfg = VITS2Config(
+        audio=audio, model=model_cfg, train=VITS2TrainConfig(),
+        data=DataConfig(text_cleaners=("basic_cleaners",), add_blank=True),
+    )
+    from torch_tts_tpu.train.vits2_trainer import build_models
+
+    vmodel, _, _ = build_models(cfg)
+    x = jnp.zeros((1, 8), jnp.int32)
+    vvars = vmodel.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        x, jnp.asarray([8], jnp.int32), max_frames=16,
+        method=SynthesizerTrn.infer,
+    )
+    synth = Synthesizer(cfg, vvars["params"], buckets=((16, 24),),
+                        batch_tiers=(1,))
+
+    from torch_tts_tpu.cli.webui import make_server
+
+    server, batcher = make_server(synth, port=0, host="127.0.0.1",
+                                  taco_synth=taco)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address
+    yield f"http://{host}:{port}"
+    server.shutdown()
+    batcher.close()
+
+
+def test_tts_taco_returns_wav(taco_server_url):
+    with urllib.request.urlopen(
+        f"{taco_server_url}/tts_taco?text=hello%20there&seed=3", timeout=300
+    ) as r:
+        body = r.read()
+    assert r.headers["Content-Type"] == "audio/wav"
+    assert body[:4] == b"RIFF" and len(body) > 44
+    with urllib.request.urlopen(
+        f"{taco_server_url}/healthz", timeout=60
+    ) as r:
+        assert json.loads(r.read())["tacotron"] is True
+
+
+def test_tts_taco_404_without_model(server_url):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{server_url}/tts_taco?text=x", timeout=60)
+    assert e.value.code == 404

@@ -62,12 +62,16 @@ def wav_bytes(audio, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
-def make_server(synth, port: int = 0, host: str = "0.0.0.0"):
+def make_server(synth, port: int = 0, host: str = "0.0.0.0", taco_synth=None):
     """HTTP server over a ContinuousBatcher. Returns (server, batcher);
     callers run server.serve_forever() (a thread in tests, the main thread
     in `main`). ThreadingHTTPServer handles each request on its own thread,
     so simultaneous /tts requests land in the batcher's queue together and
-    ride one TPU dispatch."""
+    ride one TPU dispatch.
+
+    With `taco_synth` (infer/taco_serving.TacotronSynthesizer), /tts_taco
+    serves the AR model family through the same process — text -> AR mel ->
+    fused neural vocoder (or Griffin-Lim) in its own bucketed executables."""
     import urllib.parse
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -109,6 +113,22 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0"):
                     else:
                         r = batcher.submit(text, **kw).result(timeout=600)
                 except Exception as e:  # surfaced per-request, server lives on
+                    self._send(400, f"synthesis failed: {e}".encode(),
+                               "text/plain; charset=utf-8")
+                    return
+                self._send(200, wav_bytes(r.audio, r.sample_rate), "audio/wav")
+            elif url.path == "/tts_taco":
+                if taco_synth is None:
+                    self._send(404, b"no tacotron model loaded",
+                               "text/plain; charset=utf-8")
+                    return
+                q = urllib.parse.parse_qs(url.query)
+                text = q.get("text", ["hello"])[0]
+                try:
+                    r = taco_synth.synthesize(
+                        [text], seed=int(q.get("seed", ["1234"])[0])
+                    )[0]
+                except Exception as e:
                     self._send(400, f"synthesis failed: {e}".encode(),
                                "text/plain; charset=utf-8")
                     return
@@ -178,6 +198,7 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0"):
                     "buckets": [list(b) for b in synth.buckets],
                     "batch_tiers": list(synth.batch_tiers),
                     "compiled_executables": len(synth._infer_cache),
+                    "tacotron": taco_synth is not None,
                 }
                 self._send(200, json.dumps(payload).encode(), "application/json")
             else:
@@ -190,8 +211,8 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0"):
     return server, batcher
 
 
-def serve_stdlib(synth, port: int) -> None:
-    server, batcher = make_server(synth, port)
+def serve_stdlib(synth, port: int, taco_synth=None) -> None:
+    server, batcher = make_server(synth, port, taco_synth=taco_synth)
     print(f"serving on http://0.0.0.0:{server.server_address[1]}")
     try:
         server.serve_forever()
@@ -207,10 +228,26 @@ def main():
     p.add_argument("--warmup", action="store_true",
                    help="precompile the full (bucket x tier) executable grid "
                         "before accepting traffic")
+    p.add_argument("--taco-config", default=None,
+                   help="also serve a tacotron model at /tts_taco")
+    p.add_argument("--taco-run-dir", default=None)
+    p.add_argument("--taco-vocoder", default=None,
+                   help="vocoder artifact for /tts_taco (else Griffin-Lim)")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 
     from torch_tts_tpu.infer.serving import Synthesizer
+
+    taco_synth = None
+    if args.taco_config and args.taco_run_dir:
+        from torch_tts_tpu.infer.taco_serving import TacotronSynthesizer
+
+        taco_synth = TacotronSynthesizer.from_run_dir(
+            args.taco_config, args.taco_run_dir,
+            vocoder_path=args.taco_vocoder,
+        )
+        if args.warmup:
+            taco_synth.warmup()
 
     synth = Synthesizer.from_run_dir(args.config, args.model_dir)
     if args.warmup:
@@ -238,7 +275,7 @@ def main():
             outputs=gr.Audio(label="audio"),
         ).launch(server_port=args.port)
     except ImportError:
-        serve_stdlib(synth, args.port)
+        serve_stdlib(synth, args.port, taco_synth=taco_synth)
 
 
 if __name__ == "__main__":
