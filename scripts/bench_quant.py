@@ -111,6 +111,10 @@ def main():
             state = state["params_g"]
         variables = {**variables, "params": state}
         weights = os.path.basename(path)
+    # restore_checkpoint returns HOST numpy arrays — device_put once, or every
+    # jitted call re-uploads the full parameter set (~150 MB, ~3 s/call
+    # through the tunnel; measured the hard way)
+    variables = jax.device_put(variables)
     jax.block_until_ready(variables)
 
     def make_infer(model):
