@@ -212,8 +212,8 @@ def test_batch_tiers_bound_cache(synth):
 
 
 def test_tier_padding_matches_exact_batch(synth):
-    """Padding a 3-request group up to the 4-tier must not change the real
-    rows: a tier-padded group of 3 and a true batch of 4 sharing the same
+    """Padding a 3-request group up to the next tier must not change the
+    real rows: a tier-padded group of 3 and a batch of 4 sharing the same
     first three rows (same executable, same per-row noise) must produce
     identical audio for those rows. (Texts are pre-sorted by length so both
     calls assign the same rows; audio DOES depend on batch row index — one
@@ -408,7 +408,7 @@ def test_mesh_default_tiers_scale_and_validate(synth):
 
     mesh = make_mesh()
     s = Synthesizer(synth.cfg, synth.params, buckets=((16, 24),), mesh=mesh)
-    assert s.batch_tiers == [8, 16, 32, 64]
+    assert s.batch_tiers == [8 * t for t in (1, 2, 8)]  # DEFAULT_BATCH_TIERS x mesh
     with pytest.raises(ValueError, match="divisible"):
         Synthesizer(synth.cfg, synth.params, buckets=((16, 24),),
                     batch_tiers=(4,), mesh=mesh)

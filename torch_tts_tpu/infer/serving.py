@@ -8,7 +8,7 @@ CLIs/web UI here share, designed for production serving on TPU:
 - length-bucketed compilation: texts are padded to a small set of static
   (text, frame) buckets so every request hits a cached executable,
 - batch tiers: request groups are padded up to a fixed set of batch sizes
-  (default 1/2/4/8), so the executable cache is BOUNDED at
+  (default 1/2/8; no 4 — see DEFAULT_BATCH_TIERS), so the executable cache is BOUNDED at
   len(batch_tiers) x len(buckets) programs no matter the traffic pattern
   (padding rows are masked through the whole model and discarded),
 - continuous batching: `ContinuousBatcher` drains a request queue into the
@@ -48,7 +48,11 @@ logger = logging.getLogger(__name__)
 
 # (max_text_tokens, max_frames) tiers; ~5.8 frames/token covers English TTS
 DEFAULT_BUCKETS = ((64, 384), (128, 768), (256, 1344), (512, 2048))
-DEFAULT_BATCH_TIERS = (1, 2, 4, 8)
+# No tier 4: fp32 MXU tiles are 8 sublanes deep, so a batch-4 program costs
+# within 5% of batch-8 (measured twice: 67.4/67 ms vs 70.7/71 ms — B-sweep,
+# artifacts/batch_sweep_r4.json). Groups of 3-8 ride the 8-tier at the same
+# latency and the executable grid shrinks by a quarter.
+DEFAULT_BATCH_TIERS = (1, 2, 8)
 
 
 @dataclass
