@@ -173,9 +173,20 @@ def main():
     # v5e MXU peak (197 TFLOP/s bf16; fp32 matmuls ride the same bf16 passes).
     mfu = None
     try:
-        cost = infer.lower(variables, x, x_lengths, base).compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops = float(cost.get("flops", 0.0))
+        # cost_analysis on the UNCOMPILED lowering (host-side HLO analysis);
+        # .compile() here would re-pay the multi-minute server-side compile
+        # purely to read the flop count
+        lowered = infer.lower(variables, x, x_lengths, base)
+        try:
+            cost = lowered.cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        if flops <= 0.0:  # backend without host-side HLO analysis
+            cost = lowered.compile().cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0))
         peak = 197e12
         mfu = flops / (dt / n_chain) / peak
         print(

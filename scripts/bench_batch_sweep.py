@@ -104,7 +104,10 @@ def main():
         rtf = B * audio_seconds / dt
         mfu = None
         try:
-            cost = infer.lower(variables, xb, lb, base, carry).compile().cost_analysis()
+            # host-side HLO analysis on the UNCOMPILED lowering: a
+            # .lower().compile() here would pay the 3-8 min server-side
+            # compile a second time per B just to read the flop count
+            cost = infer.lower(variables, xb, lb, base, carry).cost_analysis()
             cost = cost[0] if isinstance(cost, (list, tuple)) else cost
             mfu = float(cost.get("flops", 0.0)) / dt / peak
         except Exception:

@@ -256,6 +256,7 @@ def test_vits2_train_cli_multicorpus(tmp_path, rng, monkeypatch):
     monkeypatch.setattr(trainer_mod, "VITS2Trainer", FakeTrainer)
     cfg_path = tmp_path / "cfg.yaml"
     cfg_path.write_text(
+        "model:\n  n_speakers: 2\n  gin_channels: 4\n"
         "data:\n  text_cleaners: [basic_cleaners]\n  add_blank: false\n"
         "  sampling_rate: 8000\n  filter_length: 128\n  hop_length: 64\n"
         "  win_length: 128\n  n_mel_channels: 20\n"
@@ -281,6 +282,110 @@ def test_vits2_train_cli_multicorpus(tmp_path, rng, monkeypatch):
     # every corpus-B item carries the offset sid
     for it in list(train_ds.items) + list(eval_ds.items):
         assert it.sid == corpus_of(it)
+
+    # --sid-offset against a single-speaker config must fail FAST: XLA's
+    # clamping embedding gather (or a missing emb_g entirely) would
+    # otherwise train silently wrong
+    cfg_bad = tmp_path / "cfg_single.yaml"
+    cfg_bad.write_text(
+        "data:\n  text_cleaners: [basic_cleaners]\n  add_blank: false\n"
+        "  sampling_rate: 8000\n  filter_length: 128\n  hop_length: 64\n"
+        "  win_length: 128\n  n_mel_channels: 20\n"
+    )
+    monkeypatch.setattr(sys, "argv", [
+        "vits2_train", "-c", str(cfg_bad), "-m", str(tmp_path / "run2"),
+        "--filelist", roots[0][1], "--filelist", roots[1][1], "--sid-offset",
+    ])
+    with pytest.raises(SystemExit):
+        cli.main()
+
+
+def test_vits2_trainer_resume_mid_epoch_rounds_step_down(tmp_path, rng):
+    """A MID-epoch checkpoint (eval_interval not a multiple of
+    steps_per_epoch) must resume with the step rounded down to the epoch
+    boundary — the reference's global_step = (epoch_str-1)*len(train_loader)
+    (vits2/train.py:237). Before the fix, the restored step kept its
+    mid-epoch value while the epoch replayed from its start, permanently
+    inflating the step<->epoch arithmetic on every resume."""
+    import dataclasses as _dc
+
+    from torch_tts_tpu.data.dataset import TextAudioDataset
+    from torch_tts_tpu.train.vits2_trainer import VITS2Trainer
+
+    cfg = vits2_tiny_cfg()
+    root = make_synth_ljspeech(tmp_path / "ds", rng)
+    ds = TextAudioDataset.from_ljspeech(root, cfg.audio, cfg.data, use_mel=True)
+    kw = dict(use_mesh=False, bucket_boundaries=[4, 40], pad_text_to=32)
+
+    t0 = VITS2Trainer(cfg, str(tmp_path / "probe"), ds, **kw)
+    spe = len(t0.sampler)
+    assert spe >= 3
+    # eval_interval = spe - 1 -> the only checkpoint of epoch 1 lands
+    # mid-epoch at step spe-1
+    cfg = _dc.replace(
+        cfg, train=_dc.replace(cfg.train, eval_interval=spe - 1, epochs=1)
+    )
+    run = str(tmp_path / "run")
+    t1 = VITS2Trainer(cfg, run, ds, **kw)
+    t1.train(epochs=1)
+    del t1
+
+    t2 = VITS2Trainer(cfg, run, ds, **kw)
+    assert int(jax.device_get(t2.state.step)) == spe - 1  # mid-epoch restore
+    t2.train(epochs=1)  # replays epoch 1 with the original step numbering
+    assert int(jax.device_get(t2.state.step)) == spe  # NOT spe-1 + spe
+
+    # a second crash/resume must not drift either
+    t3 = VITS2Trainer(cfg, run, ds, **kw)
+    start = int(jax.device_get(t3.state.step))
+    assert start in (spe - 1, spe)  # latest ckpt: mid-epoch or epoch-end
+    t3.train(epochs=2)
+    assert int(jax.device_get(t3.state.step)) == 2 * spe
+
+
+def test_tacotron_trainer_resume_fast_forwards(tmp_path, rng):
+    """CLI-path resume (state is None until train() runs): the restored step
+    must drive the epoch fast-forward and the checkpoint numbering. Before
+    the fix, step/start_epoch were computed before setup() restored the
+    checkpoint, so a resumed run replayed from epoch 0 and saved checkpoints
+    under regressed step numbers."""
+    import h5py  # noqa: F401  (ensures optional dep present like sibling test)
+
+    from torch_tts_tpu.data.tacotron_dataset import (
+        TacotronDatasetHDF5,
+        build_dataset_hdf5,
+        collate_tacotron,
+    )
+    from torch_tts_tpu.text.encoder import TextEncoder
+    from torch_tts_tpu.train import checkpoint as ckpt
+    from torch_tts_tpu.train.tacotron_train import TacotronTrainer
+
+    root = make_synth_ljspeech(tmp_path / "ds", rng, n=6, sr=8000)
+    h5_path = str(tmp_path / "cache.h5")
+    build_dataset_hdf5(root, TACO_TINY, h5_path)
+    enc = TextEncoder(TACO_TINY.text.alphabet, eos="#")
+    ds = TacotronDatasetHDF5(h5_path, enc)
+    batch = collate_tacotron([ds[i] for i in range(4)],
+                             pad_text_to=32, pad_frames_to=28, r=2)
+
+    run_dir = str(tmp_path / "taco_run")
+    t1 = TacotronTrainer(TACO_TINY, run_dir)
+    t1.train([batch], num_epochs=2, log_interval=1)
+    assert int(jax.device_get(t1.state.step)) == 2
+    del t1
+
+    # resume with state=None (the CLI path): same num_epochs -> nothing to do
+    t2 = TacotronTrainer(TACO_TINY, run_dir)
+    t2.train([batch], num_epochs=2, log_interval=1)
+    assert int(jax.device_get(t2.state.step)) == 2  # fast-forwarded, no replay
+
+    # a higher target runs only the remaining epochs, saving under the TRUE
+    # step number (not a regressed one that remove_old_checkpoints would prune)
+    t3 = TacotronTrainer(TACO_TINY, run_dir)
+    t3.train([batch], num_epochs=3, log_interval=1)
+    assert int(jax.device_get(t3.state.step)) == 3
+    latest = ckpt.latest_checkpoint(run_dir)
+    assert latest is not None and "3" in os.path.basename(latest)
 
 
 def test_vits2_trainer_resume_trajectory_exact(tmp_path, rng):

@@ -124,6 +124,24 @@ def test_artifact_roundtrip(trained, tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_check_compat_flags_every_mismatch(trained):
+    """hop (upsample product) and sample_rate mismatches must fail fast, not
+    just num_mels — a wrong hop silently mis-trims the emitted waveform and a
+    wrong rate writes pitch-shifted audio."""
+    from torch_tts_tpu.infer.vocoder import check_compat
+
+    _fe, _wav, _mel, params, _mel_fn = trained
+    voc = Vocoder(params=params, gen_kwargs=GEN_KWARGS,
+                  sample_rate=8000, num_mels=20)
+    check_compat(voc, num_mels=20, hop_length=HOP, sample_rate=8000)  # ok
+    with pytest.raises(ValueError, match="num_mels"):
+        check_compat(voc, num_mels=80, hop_length=HOP, sample_rate=8000)
+    with pytest.raises(ValueError, match="hop"):
+        check_compat(voc, num_mels=20, hop_length=256, sample_rate=8000)
+    with pytest.raises(ValueError, match="sample_rate"):
+        check_compat(voc, num_mels=20, hop_length=HOP, sample_rate=22050)
+
+
 def test_synth_matches_reference_semantics(trained):
     """synth == renorm -> generator -> per-item peak normalize
     (inference.py:25-34)."""

@@ -94,14 +94,17 @@ def main():
     if args.vocoder:
         # synth_audio_vocoder path (inference.py:25-34): affine renorm +
         # neural vocoder + peak normalize
-        from torch_tts_tpu.infer.vocoder import load_vocoder
+        from torch_tts_tpu.infer.vocoder import check_compat, load_vocoder
 
         voc = load_vocoder(args.vocoder)
-        if voc.num_mels != cfg.audio.num_mels:
-            raise SystemExit(
-                f"vocoder expects {voc.num_mels} mels, config has "
-                f"{cfg.audio.num_mels}"
+        try:
+            check_compat(
+                voc, num_mels=cfg.audio.num_mels,
+                hop_length=cfg.audio.hop_length,
+                sample_rate=cfg.audio.sample_rate,
             )
+        except ValueError as e:
+            raise SystemExit(str(e))
         wav = voc.synth(mel)[0]
     else:
         # synth_audio path: m_rev -> mel inversion -> Griffin-Lim

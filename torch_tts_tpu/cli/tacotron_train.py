@@ -102,6 +102,11 @@ def main():
         def __iter__(self):
             return batches(self.idx, self.lengths, self.bs)
 
+        def __len__(self):
+            # sized so TacotronTrainer.train can fast-forward completed
+            # epochs on resume (LengthBucketRandomSampler batch count)
+            return (len(self.idx) + self.bs - 1) // self.bs
+
     eval_lengths = [ds.lengths[i] for i in eval_idx]
     trainer.train(
         EpochIterable(train_idx, train_lengths, args.batch_size),

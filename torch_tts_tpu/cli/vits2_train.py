@@ -75,6 +75,18 @@ def main():
             len(corpora), len(full), args.sid_offset,
         )
 
+    # fail fast on sid/config mismatches: XLA embedding gathers CLAMP
+    # out-of-range ids (two speakers silently share a row) and a
+    # single-speaker model (n_speakers<=1) builds no speaker table at all —
+    # either way offset sids would train silently wrong
+    max_sid = max((it.sid for it in full.items), default=0)
+    if max_sid > 0 and cfg.model.n_speakers <= max_sid:
+        p.error(
+            f"speaker ids reach {max_sid} but the config has "
+            f"n_speakers={cfg.model.n_speakers}; set model.n_speakers > "
+            f"{max_sid} (multi-speaker) or drop --sid-offset"
+        )
+
     # min(100, 5%) seeded-random val split (reference cli.py:104-108
     # random_split; the 5% floor keeps tiny corpora trainable)
     import numpy as np

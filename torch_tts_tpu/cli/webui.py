@@ -239,6 +239,8 @@ def main():
     from torch_tts_tpu.infer.serving import Synthesizer
 
     taco_synth = None
+    if bool(args.taco_config) != bool(args.taco_run_dir):
+        p.error("--taco-config and --taco-run-dir must be given together")
     if args.taco_config and args.taco_run_dir:
         from torch_tts_tpu.infer.taco_serving import TacotronSynthesizer
 
@@ -255,6 +257,13 @@ def main():
         ns = synth.warmup_streaming()
         logger.info("warmup: %d batch executables + streaming path for "
                     "%d buckets", n, ns)
+
+    if taco_synth is not None:
+        # the gradio Interface has no /tts_taco route — a loaded (and
+        # possibly warmed-up) tacotron model must stay reachable, so the
+        # stdlib server hosts both model families
+        serve_stdlib(synth, args.port, taco_synth=taco_synth)
+        return
 
     try:
         import gradio as gr  # pragma: no cover - not in this image

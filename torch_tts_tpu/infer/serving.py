@@ -55,6 +55,29 @@ DEFAULT_BUCKETS = ((64, 384), (128, 768), (256, 1344), (512, 2048))
 DEFAULT_BATCH_TIERS = (1, 2, 8)
 
 
+def bucket_for(buckets: Sequence[Tuple[int, int]], n_tokens: int) -> Tuple[int, int]:
+    """Smallest (max_len, max_out) bucket admitting n_tokens; raises when the
+    text exceeds every bucket (callers split long texts first). Shared by the
+    VITS2 and Tacotron serving layers so tiering semantics cannot drift."""
+    idx = bisect.bisect_left([b[0] for b in buckets], n_tokens)
+    if idx >= len(buckets):
+        raise ValueError(
+            f"text too long: {n_tokens} tokens > {buckets[-1][0]}"
+        )
+    return buckets[idx]
+
+
+def tier_for(batch_tiers: Sequence[int], n: int) -> int:
+    """Smallest batch tier >= n (groups larger than the top tier are split
+    by the callers — exceeding it is a caller bug, so raise, never clamp)."""
+    idx = bisect.bisect_left(list(batch_tiers), n)
+    if idx >= len(batch_tiers):
+        raise ValueError(
+            f"group of {n} exceeds max batch tier {batch_tiers[-1]}"
+        )
+    return batch_tiers[idx]
+
+
 @dataclass
 class SynthesisResult:
     audio: np.ndarray  # [n_samples] float32
@@ -197,22 +220,10 @@ class Synthesizer:
     # ------------------------------------------------------------------
 
     def _bucket_for(self, n_tokens: int) -> Tuple[int, int]:
-        idx = bisect.bisect_left([b[0] for b in self.buckets], n_tokens)
-        if idx >= len(self.buckets):
-            raise ValueError(
-                f"text too long: {n_tokens} tokens > {self.buckets[-1][0]}"
-            )
-        return self.buckets[idx]
+        return bucket_for(self.buckets, n_tokens)
 
     def _tier_for(self, n: int) -> int:
-        """Smallest batch tier >= n (groups larger than the top tier are
-        split by the callers)."""
-        idx = bisect.bisect_left(self.batch_tiers, n)
-        if idx >= len(self.batch_tiers):
-            raise ValueError(
-                f"group of {n} exceeds max batch tier {self.batch_tiers[-1]}"
-            )
-        return self.batch_tiers[idx]
+        return tier_for(self.batch_tiers, n)
 
     @property
     def max_batch(self) -> int:

@@ -31,7 +31,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from torch_tts_tpu.infer.serving import SynthesisResult
+from torch_tts_tpu.infer.serving import SynthesisResult, bucket_for, tier_for
 
 logger = logging.getLogger(__name__)
 
@@ -61,10 +61,13 @@ class TacotronSynthesizer:
         self.model = build_tacotron(cfg)
         self.variables = jax.device_put(variables)
         self.vocoder = vocoder
-        if vocoder is not None and vocoder.num_mels != cfg.audio.num_mels:
-            raise ValueError(
-                f"vocoder expects {vocoder.num_mels} mels, "
-                f"config has {cfg.audio.num_mels}"
+        if vocoder is not None:
+            from torch_tts_tpu.infer.vocoder import check_compat
+
+            check_compat(
+                vocoder, num_mels=cfg.audio.num_mels,
+                hop_length=cfg.audio.hop_length,
+                sample_rate=cfg.audio.sample_rate,
             )
         self.frontend = AudioFrontend(cfg.audio)
         self.encoder = TextEncoder(
@@ -121,19 +124,10 @@ class TacotronSynthesizer:
     # -- bucketing ----------------------------------------------------------
 
     def _bucket_for(self, n_chars: int) -> Tuple[int, int]:
-        i = bisect.bisect_left([b[0] for b in self.buckets], n_chars)
-        if i == len(self.buckets):
-            raise ValueError(
-                f"text too long for buckets ({n_chars} > "
-                f"{self.buckets[-1][0]}); split it first"
-            )
-        return self.buckets[i]
+        return bucket_for(self.buckets, n_chars)
 
     def _tier_for(self, n: int) -> int:
-        for t in self.batch_tiers:
-            if n <= t:
-                return t
-        return self.batch_tiers[-1]
+        return tier_for(self.batch_tiers, n)
 
     # -- compiled programs --------------------------------------------------
 

@@ -107,6 +107,33 @@ class Vocoder:
         return wav
 
 
+def check_compat(
+    voc: "Vocoder", *, num_mels: int, hop_length: int, sample_rate: int
+) -> None:
+    """Fail fast when a vocoder artifact does not match the acoustic model's
+    audio config. All three matter: a mel-count mismatch breaks the graph, a
+    hop mismatch silently mis-trims the emitted waveform (callers slice with
+    the CONFIG hop), and a sample-rate mismatch writes pitch/speed-shifted
+    audio."""
+    problems = []
+    if voc.num_mels != num_mels:
+        problems.append(f"num_mels {voc.num_mels} != config {num_mels}")
+    if voc.hop_length != hop_length:
+        problems.append(
+            f"hop (prod of upsample_rates) {voc.hop_length} != config "
+            f"hop_length {hop_length}"
+        )
+    if voc.sample_rate != sample_rate:
+        problems.append(
+            f"sample_rate {voc.sample_rate} != config {sample_rate}"
+        )
+    if problems:
+        raise ValueError(
+            "vocoder artifact incompatible with audio config: "
+            + "; ".join(problems)
+        )
+
+
 def save_vocoder(
     path: str,
     params: Dict[str, Any],

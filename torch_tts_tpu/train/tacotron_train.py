@@ -178,18 +178,35 @@ class TacotronTrainer:
         num_epochs: int = 600,
         log_interval: int = 10,
     ):
-        step = int(jax.device_get(self.state.step)) if self.state is not None else 0
+        if self.state is None:
+            # setup (and its checkpoint restore) needs a sample batch; take
+            # one eagerly so the resume arithmetic below sees the restored
+            # step instead of assuming a fresh run
+            first = next(iter(train_batches), None)
+            if first is None:
+                return
+            self.setup(first)
+        step = int(jax.device_get(self.state.step))
         # epoch-boundary-exact resume, same discipline as VITS2Trainer: the
         # per-step key is derived (fold_in(seed, step)), and when the batch
         # schedule is sized the epoch loop fast-forwards past completed epochs
         try:
-            start_epoch = step // max(1, len(train_batches))
+            steps_per_epoch = len(train_batches)
         except TypeError:
+            steps_per_epoch = None
+        if steps_per_epoch:
+            start_epoch = step // steps_per_epoch
+        else:
             start_epoch = 0
+            if step:
+                logger.warning(
+                    "resumed at step %d but the batch iterable has no len(); "
+                    "cannot fast-forward past completed epochs — running "
+                    "%d epochs from here (checkpoints keep the true step)",
+                    step, num_epochs,
+                )
         for epoch in range(start_epoch, num_epochs):
             for batch in train_batches:
-                if self.state is None:
-                    self.setup(batch)
                 sub = jax.random.fold_in(self.rng, step)
                 self.state, metrics = self.step_fn(self.state, batch, sub)
                 step += 1

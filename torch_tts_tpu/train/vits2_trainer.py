@@ -210,7 +210,26 @@ class VITS2Trainer:
         # utils.load_checkpoint/epoch_str resume, vits2/train.py:255-263).
         # Verified bit-exact: tests/test_trainers_e2e.py
         # ::test_vits2_trainer_resume_trajectory_exact.
-        start_epoch = step // max(1, len(self.sampler))
+        steps_per_epoch = max(1, len(self.sampler))
+        start_epoch = step // steps_per_epoch
+        if step % steps_per_epoch:
+            # mid-epoch checkpoint: round the step itself down too — the
+            # reference does exactly this (global_step = (epoch_str - 1) *
+            # len(train_loader), vits2/train.py:237). Keeping the inflated
+            # step would permanently shift the step<->epoch arithmetic (and
+            # compound on every later resume); state.step is synced so the
+            # in-step MAS noise decay and rng folds see the same rounded
+            # count the reference's global_step would.
+            step = start_epoch * steps_per_epoch
+            old = self.state.step
+            new = jax.numpy.asarray(step, dtype=old.dtype)
+            if self.mesh is not None and hasattr(old, "sharding"):
+                new = jax.device_put(new, old.sharding)
+            self.state = self.state.replace(step=new)
+            logger.info(
+                "mid-epoch checkpoint: step rounded down to the epoch "
+                "boundary (%d) — replaying the partial epoch", step,
+            )
         t_last = time.perf_counter()
         profiling = False
         # device-side skip counter; starts as a python float so the first add
