@@ -183,7 +183,7 @@ def test_fused_taco_step_matches_flax_cell(rng):
     params = jax.device_get(variables["params"])
 
     with mock.patch.object(L.Dropout, "__call__",
-                           lambda self, x_, deterministic=True: x_):
+                           lambda self, x_, deterministic=True, rng=None: x_):
         y_flax, s_flax, w_flax, _stop = dec.apply(
             variables, memory, mmask, x=x, deterministic=True,
             rngs={"dropout": jax.random.PRNGKey(0),

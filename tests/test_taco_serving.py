@@ -134,6 +134,105 @@ def test_too_long_text_raises(synth):
         synth.synthesize(["x" * 100])
 
 
+def test_decode_chunk_matches_monolithic_bitexact(synth):
+    """Chunked AR decode (decode_chunk carry across chunks) == the monolithic
+    scan bit-for-bit, INCLUDING the always-on prenet dropout: per-step masks
+    are a pure function of (key, global step index)."""
+    from torch_tts_tpu.models.tacotron import Tacotron
+
+    model, variables = synth.model, synth.variables
+    text = "a somewhat longer sentence here"
+    ids = np.asarray(synth.encoder.encode(text), np.int32)
+    pad_text, max_steps = synth._bucket_for(len(ids))
+    c = np.zeros((1, pad_text), np.int32)
+    c[0, : len(ids)] = ids
+    cl = jnp.asarray([len(ids)], jnp.int32)
+    dk = jax.random.PRNGKey(77)
+
+    memory, mmask = model.apply(variables, jnp.asarray(c), cl,
+                                method=Tacotron.encode)
+    y_mono, _s, _w, _stop = model.apply(
+        variables, memory, mmask, max_steps=max_steps, dropout_key=dk,
+        method=lambda m, mem, mm, **kw: m.decoder(mem, mm, x=None, **kw),
+    )
+
+    carry = model.apply(variables, memory, method=Tacotron.decode_init)
+    chunks = []
+    K = 4
+    assert max_steps % K == 0
+    for t0 in range(0, max_steps, K):
+        carry, y, _stopped, _w = model.apply(
+            variables, memory, mmask, carry, t0, dk, K,
+            method=Tacotron.decode_chunk,
+        )
+        chunks.append(np.asarray(y))
+    y_chunk = np.concatenate(chunks, axis=1)
+    np.testing.assert_array_equal(np.asarray(y_mono), y_chunk)
+
+
+def test_stream_matches_batch_path(synth):
+    """stream(text, seed) concatenated == synthesize([text], seed) (tier 1)
+    after peak normalization: same per-step dropout keys, and the clamped
+    emission windows reproduce postnet+vocoder conv locality exactly (the
+    fixture model never emits a stop, so the stream decodes the full bucket
+    like the monolithic program does)."""
+    text = "a somewhat longer sentence here"
+    ref = synth.synthesize([text], seed=3)[0]
+
+    chunks = list(synth.stream(text, seed=3, chunk_steps=4, pad_frames=16))
+    assert len(chunks) > 1  # actually streamed, not one blob
+    wav = np.concatenate(chunks)
+    assert wav.shape == ref.audio.shape
+    peak = max(1e-6, float(np.abs(wav).max()))
+    np.testing.assert_allclose(wav / peak, ref.audio, rtol=1e-4, atol=2e-5)
+
+
+def test_stream_short_utterance_falls_back(synth):
+    """A stop in the first chunks (total < one emission window) must fall
+    back to the batch path before anything was yielded."""
+    import copy
+
+    s2 = copy.copy(synth)
+    # force an immediate stop: fc_stop bias << stop threshold
+    v = jax.device_get(synth.variables)
+    v["params"]["decoder"]["fc_stop"]["bias"] = (
+        v["params"]["decoder"]["fc_stop"]["bias"] - 100.0
+    )
+    s2.variables = jax.device_put(v)
+    s2._fns = {}
+    s2._stream_cache = {}
+    text = "hello world"
+    ref = s2.synthesize([text], seed=5)[0]
+    r, hop = CFG.model.r, CFG.audio.hop_length
+    assert ref.audio.size == 1 * r * hop  # stopped at group 1
+    chunks = list(s2.stream(text, seed=5, chunk_steps=4, pad_frames=16))
+    assert len(chunks) == 1
+    np.testing.assert_allclose(chunks[0], ref.audio, rtol=1e-5, atol=1e-6)
+
+
+def test_warmup_streaming_compiles_and_counts(synth):
+    n = synth.warmup_streaming(chunk_steps=4, pad_frames=16)
+    # bucket (16, 12): 12 groups * r2 = 24 frames < W=40 -> skipped;
+    # bucket (32, 24): 48 frames >= 40 -> enc/chunk/emit compiled
+    assert n == 3
+    assert len(synth._stream_cache) == len(BUCKETS)
+
+
+def test_stream_requires_vocoder():
+    model = build_tacotron(CFG)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(
+        rngs, jnp.zeros((1, 8), jnp.int32), jnp.asarray([8], jnp.int32),
+        jnp.zeros((1, 2 * CFG.model.r, CFG.audio.num_mels)),
+        train=True, deterministic=False,
+    )
+    s = TacotronSynthesizer(CFG, variables, vocoder=None, buckets=BUCKETS,
+                            batch_tiers=(1,))
+    with pytest.raises(ValueError, match="vocoder"):
+        next(s.stream("hello"))
+
+
 def test_warmup_compiles_grid(synth):
     synth.warmup()
     assert len(synth._fns) == len(BUCKETS) * len(TIERS)

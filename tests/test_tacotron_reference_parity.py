@@ -135,7 +135,8 @@ def _no_dropout_ours():
     from torch_tts_tpu.ops import layers
 
     return mock.patch.object(
-        layers.Dropout, "__call__", lambda self, x, deterministic=True: x
+        layers.Dropout, "__call__",
+        lambda self, x, deterministic=True, rng=None: x
     )
 
 

@@ -7,6 +7,7 @@ import threading
 import urllib.error
 import urllib.request
 
+import numpy as np
 import pytest
 
 import jax
@@ -274,3 +275,34 @@ def test_tts_taco_404_without_model(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(f"{server_url}/tts_taco?text=x", timeout=60)
     assert e.value.code == 404
+
+
+def test_tts_taco_stream_pcm_matches_wav(taco_server_url):
+    """/tts_taco_stream PCM equals the /tts_taco WAV up to the WAV path's
+    peak normalization (streamed chunks are unnormalized) and s16
+    quantization. chunk=4&pad=12 sizes the emission window inside the tiny
+    test bucket so the exact streaming path (not the short-text fallback)
+    is exercised."""
+    url = (f"{taco_server_url}/tts_taco_stream?text=hello%20there&seed=3"
+           f"&chunk=4&pad=12")
+    with urllib.request.urlopen(url, timeout=300) as r:
+        pcm = r.read()
+        assert r.headers["X-Format"] == "s16le-mono"
+        sr = int(r.headers["X-Sample-Rate"])
+    stream = np.frombuffer(pcm, "<i2").astype(np.float32) / 32767.0
+
+    with urllib.request.urlopen(
+        f"{taco_server_url}/tts_taco?text=hello%20there&seed=3", timeout=300
+    ) as r:
+        body = r.read()
+    from scipy.io import wavfile
+    import io as _io
+
+    sr_wav, wav = wavfile.read(_io.BytesIO(body))
+    wav = wav.astype(np.float32) / 32767.0
+    assert sr == sr_wav
+    assert stream.size == wav.size
+    # same signal up to a positive scale (the WAV path peak-normalizes)
+    num = float(np.dot(stream, wav))
+    den = float(np.linalg.norm(stream) * np.linalg.norm(wav))
+    assert den > 0 and num / den > 0.999

@@ -24,6 +24,12 @@ Endpoints (stdlib server):
                  time-to-first-chunk (~5 ms decode on a v5e), not after the
                  full utterance is synthesized; over-bucket texts stream
                  sentence-by-sentence (stream_long)
+  GET /tts_taco?text=...[&seed=N]
+                 -> audio/wav through the tacotron serving layer (when a
+                 tacotron model is loaded; else 404)
+  GET /tts_taco_stream?text=...[&chunk=32][&pad=48][&seed=N]
+                 -> chunked-transfer raw PCM from the tacotron AR stream
+                 (first audio after ~2 AR chunks, not after max_steps)
   GET /healthz   -> JSON: buckets, batch tiers, compiled executables
   GET /metrics   -> Prometheus text format: request/failure/batch counters,
                  dispatch-time sum, queue depth, compiled executables
@@ -133,6 +139,47 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0", taco_synth=None):
                                "text/plain; charset=utf-8")
                     return
                 self._send(200, wav_bytes(r.audio, r.sample_rate), "audio/wav")
+            elif url.path == "/tts_taco_stream":
+                import numpy as np
+
+                if taco_synth is None:
+                    self._send(404, b"no tacotron model loaded",
+                               "text/plain; charset=utf-8")
+                    return
+                q = urllib.parse.parse_qs(url.query)
+                try:
+                    chunks = taco_synth.stream(
+                        q.get("text", ["hello"])[0],
+                        seed=int(q.get("seed", ["1234"])[0]),
+                        chunk_steps=int(q.get("chunk", ["32"])[0]),
+                        pad_frames=int(q.get("pad", ["48"])[0]),
+                    )
+                    first = next(chunks, None)
+                except Exception as e:
+                    self._send(400, f"synthesis failed: {e}".encode(),
+                               "text/plain; charset=utf-8")
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("X-Sample-Rate",
+                                 str(taco_synth.cfg.audio.sample_rate))
+                self.send_header("X-Format", "s16le-mono")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def emit_taco(a) -> None:
+                    pcm = np.round(
+                        np.clip(a, -1.0, 1.0) * 32767
+                    ).astype("<i2").tobytes()
+                    self.wfile.write(f"{len(pcm):x}\r\n".encode())
+                    self.wfile.write(pcm)
+                    self.wfile.write(b"\r\n")
+
+                if first is not None:
+                    emit_taco(first)
+                    for a in chunks:
+                        emit_taco(a)
+                self.wfile.write(b"0\r\n\r\n")
             elif url.path == "/tts_stream":
                 import numpy as np
 
@@ -250,6 +297,7 @@ def main():
         )
         if args.warmup:
             taco_synth.warmup()
+            taco_synth.warmup_streaming()
 
     synth = Synthesizer.from_run_dir(args.config, args.model_dir)
     if args.warmup:

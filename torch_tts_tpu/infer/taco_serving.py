@@ -77,7 +77,8 @@ class TacotronSynthesizer:
         self.buckets = tuple(sorted(buckets))
         self.batch_tiers = tuple(sorted(batch_tiers))
         self.gl_iters = griffin_lim_iters
-        self._fns: dict = {}
+        self._fns: dict = {}  # (tier, pad_text, max_steps) -> batch program
+        self._stream_cache: dict = {}  # streaming program triples per bucket
 
     @classmethod
     def from_run_dir(
@@ -149,8 +150,12 @@ class TacotronSynthesizer:
 
         def infer(variables, c, c_lengths, rng):
             kd, kn = jax.random.split(rng, 2)
+            # dropout_key passed EXPLICITLY (not via the rngs stream): the
+            # decoder derives per-step masks as fold_in(kd, step), which is
+            # what lets stream() reproduce the tier-1 batch decode exactly
             _y, y_post, _s, aux = model.apply(
                 variables, c, c_lengths, max_steps=max_steps,
+                dropout_key=kd,
                 rngs={"dropout": kd, "noise": kn},
             )
             stop = aux["stop_lengths"]  # decoder groups (steps)
@@ -182,6 +187,185 @@ class TacotronSynthesizer:
                 out = fn(self.variables, c,
                          jnp.full((t,), 2, jnp.int32), jax.random.PRNGKey(0))
                 np.asarray(out["stop_lengths"])  # force completion
+
+    def warmup_streaming(self, chunk_steps: int = 32,
+                         pad_frames: int = 48) -> int:
+        """Precompile the per-bucket stream programs (enc/chunk/emit) so the
+        first streamed request pays no compile; returns program count."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.vocoder is None:
+            return 0
+        n = 0
+        for pad_text, max_steps in self.buckets:
+            enc, chunk, emit, chunk_frames, W = self._stream_fns(
+                pad_text, max_steps, chunk_steps, pad_frames
+            )
+            if max_steps < chunk_steps or max_steps * self.cfg.model.r < W:
+                continue  # bucket too small to stream; requests fall back
+            c = jnp.zeros((1, pad_text), jnp.int32).at[:, 0].set(1)
+            memory, mmask, carry, buf = enc(self.variables, c,
+                                            jnp.asarray([2], jnp.int32))
+            carry, buf, stopped = chunk(
+                self.variables, memory, mmask, carry,
+                jnp.asarray(0, jnp.int32), jax.random.PRNGKey(0), buf,
+            )
+            np.asarray(stopped)  # force completion
+            wav = emit(self.variables, buf, jnp.asarray(0, jnp.int32),
+                       jnp.asarray(max_steps * self.cfg.model.r, jnp.int32))
+            np.asarray(wav[0, :4])
+            n += 3
+        return n
+
+    # -- streaming ----------------------------------------------------------
+    #
+    # Chunked low-TTFA synthesis for the AR family (no reference
+    # counterpart; the VITS2 analogue is infer/streaming.py). Three compiled
+    # programs per bucket, each shape-static so chunk index never recompiles:
+    #   encode: text -> (memory, mmask, AR carry)        [once per utterance]
+    #   chunk:  K decoder groups from global step t0, written into a
+    #           persistent [1, max_steps*r, M] mel buffer on device
+    #   emit:   clamped window [o, o+W) of the buffer -> postnet -> renorm ->
+    #           vocoder -> the center chunk_frames*hop samples
+    # Exactness: per-step prenet-dropout keys are a pure function of
+    # (key, global step) (models/tacotron/model.py decode_chunk), so chunked
+    # mel == monolithic mel bit-for-bit; postnet (RF 6 frames) and HiFi-GAN
+    # (RF < 30 frames) are local, so emitting >= pad_frames away from window
+    # edges reproduces postnet+vocoder applied to the WHOLE trimmed mel
+    # (reference semantics: inference.py postnets the decoded length).
+    # Early stop is also a throughput win: the monolithic bucket program
+    # always scans max_steps; the stream stops decoding at the stop token.
+    # Chunks are NOT peak-normalized (the global peak is unknowable online).
+
+    def _stream_fns(self, pad_text: int, max_steps: int, chunk_steps: int,
+                    pad_frames: int):
+        key = (pad_text, max_steps, chunk_steps, pad_frames)
+        fns = self._stream_cache.get(key)
+        if fns is not None:
+            return fns
+        import jax
+        import jax.numpy as jnp
+
+        from torch_tts_tpu.models.tacotron import Tacotron
+
+        model, voc = self.model, self.vocoder
+        r, M = self.cfg.model.r, self.cfg.audio.num_mels
+        K = chunk_steps
+        chunk_frames = K * r
+        W = chunk_frames + 2 * pad_frames
+        T_buf = max_steps * r
+
+        @jax.jit
+        def enc(variables, c, c_lengths):
+            memory, mmask = model.apply(variables, c, c_lengths,
+                                        method=Tacotron.encode)
+            carry = model.apply(variables, memory,
+                                method=Tacotron.decode_init)
+            buf = jnp.zeros((1, T_buf, M), memory.dtype)
+            return memory, mmask, carry, buf
+
+        @jax.jit
+        def chunk(variables, memory, mmask, carry, t0, dkey, buf):
+            carry, y, stopped, _w = model.apply(
+                variables, memory, mmask, carry, t0, dkey, K,
+                method=Tacotron.decode_chunk,
+            )
+            buf = jax.lax.dynamic_update_slice(buf, y, (0, t0 * r, 0))
+            return carry, buf, stopped
+
+        @jax.jit
+        def emit(variables, buf, start, total):
+            # window clamped inside [0, total): interior emission is exact
+            # by conv locality; at the edges the window boundary coincides
+            # with the true signal boundary, so conv zero-padding matches
+            # the full computation
+            o = jnp.clip(start - pad_frames, 0, jnp.maximum(total - W, 0))
+            y_win = jax.lax.dynamic_slice(buf, (0, o, 0), (1, W, M))
+            y_post = model.apply(variables, y_win,
+                                 method=Tacotron.apply_postnet)
+            mel_log = (y_post - voc.mel_shift) / voc.mel_scale
+            wav = voc.generator.apply({"params": voc.params}, mel_log)[..., 0]
+            hop = self.cfg.audio.hop_length
+            return jax.lax.dynamic_slice(
+                wav, (0, (start - o) * hop), (1, chunk_frames * hop)
+            )
+
+        fns = (enc, chunk, emit, chunk_frames, W)
+        self._stream_cache[key] = fns
+        return fns
+
+    def stream(self, text: str, seed: int = 0, chunk_steps: int = 32,
+               pad_frames: int = 48):
+        """Yield float32 waveform chunks for one utterance (B=1), first audio
+        after ~2 AR chunks instead of the full max_steps decode. Requires a
+        vocoder artifact. Utterances shorter than one emission window fall
+        back to the batch path (one monolithic dispatch) — the window cannot
+        straddle the whole signal exactly otherwise."""
+        if self.vocoder is None:
+            raise ValueError("streaming requires a vocoder artifact "
+                             "(Griffin-Lim is not chunkable)")
+        import jax
+        import jax.numpy as jnp
+
+        ids = np.asarray(self.encoder.encode(text), np.int32)
+        pad_text, max_steps = self._bucket_for(len(ids))
+        r, hop = self.cfg.model.r, self.cfg.audio.hop_length
+        enc, chunk, emit, chunk_frames, W = self._stream_fns(
+            pad_text, max_steps, chunk_steps, pad_frames
+        )
+        c = np.zeros((1, pad_text), np.int32)
+        c[0, : len(ids)] = ids
+        cl = jnp.asarray([len(ids)], jnp.int32)
+
+        base = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+        kd, _kn = jax.random.split(base)
+        memory, mmask, carry, buf = enc(self.variables, jnp.asarray(c), cl)
+
+        emitted = 0
+        decoded = 0  # frames actually written to buf
+        t_final = None  # frames
+        for t0 in range(0, max_steps - chunk_steps + 1, chunk_steps):
+            carry, buf, stopped = chunk(
+                self.variables, memory, mmask, carry,
+                jnp.asarray(t0, jnp.int32), kd, buf,
+            )
+            flags = np.asarray(stopped[0])  # [K] — the per-chunk host sync
+            decoded = (t0 + chunk_steps) * r
+            if flags.any():
+                t_final = (t0 + int(np.argmax(flags)) + 1) * r
+                break
+            # one-chunk lookahead beyond the receptive-field margin: any
+            # LATER stop then lands past this emission's window, which (with
+            # emitted > 0) guarantees total >= W so the flush below stays
+            # exact — and total < W implies nothing was yielded yet, so the
+            # short-utterance fallback is clean. The max(.., W) keeps that
+            # invariant when chunk_frames < pad_frames (total >= decoded at
+            # first emission >= threshold >= W).
+            threshold = max(2 * chunk_frames + pad_frames, W)
+            while decoded - emitted >= threshold:
+                wav = np.asarray(emit(self.variables, buf,
+                                      jnp.asarray(emitted, jnp.int32),
+                                      jnp.asarray(decoded, jnp.int32)))[0]
+                yield wav.astype(np.float32)
+                emitted += chunk_frames
+        total = t_final if t_final is not None else decoded
+        if total < W:
+            # too short for an exact flush window; emitted == 0 (see above):
+            # one monolithic dispatch through the batch path
+            assert emitted == 0
+            res = self.synthesize([text], seed=seed)[0]
+            yield res.audio
+            return
+        while emitted < total:
+            start = max(0, min(emitted, total - chunk_frames))
+            wav = np.asarray(emit(self.variables, buf,
+                                  jnp.asarray(start, jnp.int32),
+                                  jnp.asarray(total, jnp.int32)))[0]
+            new = wav[(emitted - start) * hop : (total - start) * hop]
+            if new.size:
+                yield new.astype(np.float32)
+            emitted = min(start + chunk_frames, total)
 
     # -- synthesis ----------------------------------------------------------
 

@@ -122,10 +122,12 @@ class Taco1DecoderCell(nn.Module):
         return (w0, h_att, h_dec)
 
     @nn.compact
-    def __call__(self, state, x, memory, mmask, deterministic: bool = True):
+    def __call__(self, state, x, memory, mmask, deterministic: bool = True,
+                 prenet_rng=None):
         w, h_att, h_dec = state
         x_pre = PreNet(self.dim_pre, p_dropout=0.5, always_dropout=True,
-                       name="pre_net")(x.reshape(x.shape[0], -1), deterministic)
+                       name="pre_net")(x.reshape(x.shape[0], -1), deterministic,
+                                       rng=prenet_rng)
         ctx = jnp.einsum("bl,bld->bd", w, memory)
         h_att, _ = GRUCell(self.dim_att, p_zoneout=0.1, name="attention_rnn")(
             h_att, jnp.concatenate([ctx, x_pre], -1), deterministic
@@ -168,11 +170,12 @@ class Taco2DecoderCell(nn.Module):
         return (w0, h_dec)
 
     @nn.compact
-    def __call__(self, state, x, memory, mmask, deterministic: bool = True):
+    def __call__(self, state, x, memory, mmask, deterministic: bool = True,
+                 prenet_rng=None):
         w, h_dec = state
         x_pre = PreNet(self.dim_pre, dim_hidden=128, p_dropout=0.5,
                        always_dropout=True, name="pre_net")(
-            x.reshape(x.shape[0], -1), deterministic
+            x.reshape(x.shape[0], -1), deterministic, rng=prenet_rng
         )
         ctx = jnp.einsum("bl,bld->bd", w, memory)
         x_dec = x_pre
@@ -222,10 +225,12 @@ class Taco2ProdDecoderCell(nn.Module):
         return (w0, ctx0, (h_att, h_dec))
 
     @nn.compact
-    def __call__(self, state, x, memory, mmask, deterministic: bool = True):
+    def __call__(self, state, x, memory, mmask, deterministic: bool = True,
+                 prenet_rng=None):
         w, ctx, (h_att, h_dec) = state
         x_pre = PreNet(self.dim_pre, dim_hidden=self.dim_pre, always_dropout=True,
-                       name="pre_net")(x.reshape(x.shape[0], -1), deterministic)
+                       name="pre_net")(x.reshape(x.shape[0], -1), deterministic,
+                                       rng=prenet_rng)
         h_att, _ = LSTMZoneoutCell(self.dim_rnn[0], p_zoneout=self.p_zoneout,
                                    name="attention_rnn")(
             h_att, jnp.concatenate([x_pre, ctx], -1), deterministic
@@ -307,6 +312,46 @@ class Decoder(nn.Module):
             return (w0, h_dec)
         return self.cell.initial_state(B, L, dtype)
 
+    def _ar_step(self, carry, t_prev, use_teacher, is_first, dkey, memory,
+                 mmask, deterministic):
+        """One r-group AR step, shared by the monolithic scan and
+        decode_chunk (identical code => identical numerics)."""
+        state, y_prev = carry
+        y_in = jnp.where(is_first, jnp.zeros_like(y_prev),
+                         jnp.where(use_teacher, t_prev, y_prev))
+        # cell consumes [B, 1, D_mel] (last frame of the previous group)
+        state, out, ctx = self.cell(
+            state, y_in[:, None, :], memory, mmask, deterministic,
+            prenet_rng=dkey,
+        )
+        y_t = nn.leaky_relu(self.fc_mel(out), 0.01)  # [B, r*D_mel]
+        s_t = self.fc_stop(out)  # [B, r]
+        y_t = y_t.reshape(y_t.shape[0], self.r, self.dim_mel)
+        w_t = state[0]
+        return (state, y_t[:, -1]), (y_t, s_t, w_t)
+
+    def _scan(self, carry, xs, memory, mmask, deterministic):
+        scan = nn.scan(
+            lambda mdl, c, inp: mdl._ar_step(c, *inp, memory, mmask,
+                                             deterministic),
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True, "noise": True},
+        )
+        return scan(self, carry, xs)
+
+    def _step_keys(self, base, ts):
+        """Per-step prenet-dropout keys as a pure function of (key, global
+        step index) — the property that makes a chunked decode reproduce the
+        monolithic scan bit-for-bit."""
+        return jax.vmap(lambda t: jax.random.fold_in(base, t))(ts)
+
+    def init_carry(self, memory):
+        """Fresh AR carry for decode_chunk (learned initial states)."""
+        B, L, _ = memory.shape
+        state0 = self._initial_state(B, L, memory.dtype)
+        y0 = jnp.zeros((B, self.dim_mel), memory.dtype)
+        return (state0, y0)
+
     def __call__(
         self,
         memory,
@@ -315,6 +360,7 @@ class Decoder(nn.Module):
         max_steps: int = 400,
         p_no_forcing: float = 0.1,
         deterministic: bool = True,
+        dropout_key: Optional[jax.Array] = None,
     ):
         """memory: [B, L, D]; x: teacher mels [B, T, D_mel] (training) or None.
 
@@ -342,33 +388,15 @@ class Decoder(nn.Module):
         else:
             coin = jnp.ones((S,), bool) if teacher else jnp.zeros((S,), bool)
 
-        state0 = self._initial_state(B, L, memory.dtype)
-        y0 = jnp.zeros((B, self.dim_mel), memory.dtype)
-
-        def step(carry, inp):
-            state, y_prev = carry
-            t_prev, use_teacher, is_first = inp
-            y_in = jnp.where(is_first, jnp.zeros_like(y_prev),
-                             jnp.where(use_teacher, t_prev, y_prev))
-            # cell consumes [B, 1, D_mel] (last frame of the previous group)
-            state, out, ctx = self.cell(
-                state, y_in[:, None, :], memory, mmask, deterministic
-            )
-            y_t = nn.leaky_relu(self.fc_mel(out), 0.01)  # [B, r*D_mel]
-            s_t = self.fc_stop(out)  # [B, r]
-            y_t = y_t.reshape(B, self.r, self.dim_mel)
-            w_t = state[0]
-            return (state, y_t[:, -1]), (y_t, s_t, w_t)
-
+        base = (dropout_key if dropout_key is not None
+                else self.make_rng("dropout"))
+        dkeys = self._step_keys(base, jnp.arange(S))
         is_first = jnp.zeros((S,), bool).at[0].set(True)
-        scan = nn.scan(
-            lambda mdl, carry, inp: step(carry, inp),
-            variable_broadcast="params",
-            split_rngs={"params": False, "dropout": True, "noise": True},
+        carry0 = self.init_carry(memory)
+        (state, _), (ys, ss, ws) = self._scan(
+            carry0, (teacher_prev.transpose(1, 0, 2), coin, is_first, dkeys),
+            memory, mmask, deterministic,
         )
-        (state, _), (ys, ss, ws) = scan(self, (state0, y0),
-                                        (teacher_prev.transpose(1, 0, 2), coin,
-                                         is_first))
         # scan stacks on axis 0: ys [S, B, r, D_mel] -> [B, S*r, D_mel]
         y = ys.transpose(1, 0, 2, 3).reshape(B, S * self.r, self.dim_mel)
         s = ss.transpose(1, 0, 2).reshape(B, S * self.r, 1)
@@ -381,6 +409,40 @@ class Decoder(nn.Module):
         first_stop = jnp.argmax(stopped, axis=1) + 1
         stop_lengths = jnp.where(any_stop, first_stop, S)
         return y, s, w, stop_lengths
+
+    def decode_chunk(
+        self,
+        memory,
+        mmask,
+        carry,
+        t0,
+        dropout_key,
+        chunk_steps: int,
+        deterministic: bool = True,
+    ):
+        """Continue the free-running AR decode for `chunk_steps` groups from
+        global step t0 with the given carry (from init_carry or a previous
+        chunk). Same per-step keys as the monolithic scan, so concatenated
+        chunks equal the monolithic inference decode bit-for-bit.
+
+        Returns (carry, y [B, K*r, D_mel], stopped [B, K] per-group stop
+        flags, w [B, K, L])."""
+        B = memory.shape[0]
+        ts = t0 + jnp.arange(chunk_steps)
+        dkeys = self._step_keys(dropout_key, ts)
+        xs = (
+            jnp.zeros((chunk_steps, B, self.dim_mel), memory.dtype),
+            jnp.zeros((chunk_steps,), bool),
+            ts == 0,
+            dkeys,
+        )
+        carry, (ys, ss, ws) = self._scan(carry, xs, memory, mmask,
+                                         deterministic)
+        y = ys.transpose(1, 0, 2, 3).reshape(B, chunk_steps * self.r,
+                                             self.dim_mel)
+        s_groups = ss.transpose(1, 0, 2)  # [B, K, r]
+        stopped = jnp.min(s_groups, axis=-1) < self.stop_threshold
+        return carry, y, stopped, ws.transpose(1, 0, 2)
 
 
 class Tacotron(nn.Module):
@@ -438,6 +500,7 @@ class Tacotron(nn.Module):
         max_steps: int = 400,
         train: bool = False,
         deterministic: bool = True,
+        dropout_key: Optional[jax.Array] = None,
     ):
         memory = self.encoder(cond, cond_lengths, train=train,
                               deterministic=deterministic)
@@ -453,7 +516,7 @@ class Tacotron(nn.Module):
         mmask = sequence_mask(cond_lengths, memory.shape[1])
         y, s, w, stop_lengths = self.decoder(
             memory, mmask, x=x, max_steps=max_steps, p_no_forcing=0.1,
-            deterministic=deterministic,
+            deterministic=deterministic, dropout_key=dropout_key,
         )
         y_post = (
             self.postnet(y, train=train, deterministic=deterministic)
@@ -462,6 +525,38 @@ class Tacotron(nn.Module):
         )
         return y, y_post, s, {"w": w, "kl_loss": kl_loss,
                               "stop_lengths": stop_lengths}
+
+    # -- streaming surface (no reference counterpart; infer/taco_serving
+    #    drives these as separate jitted programs for chunked low-TTFA
+    #    synthesis) ----------------------------------------------------------
+
+    def encode(self, cond, cond_lengths, xref=None, xref_lengths=None):
+        """Text -> (memory [B, L, D], mmask [B, L]) — the once-per-utterance
+        prefix of inference."""
+        memory = self.encoder(cond, cond_lengths, train=False,
+                              deterministic=True)
+        if xref is not None and self.refencoder is not None:
+            style, _ = self.refencoder(xref, xref_lengths, train=False,
+                                       deterministic=True)
+            memory = memory + style
+        mmask = sequence_mask(cond_lengths, memory.shape[1])
+        return memory, mmask
+
+    def decode_init(self, memory):
+        return self.decoder.init_carry(memory)
+
+    def decode_chunk(self, memory, mmask, carry, t0, dropout_key,
+                     chunk_steps: int):
+        return self.decoder.decode_chunk(
+            memory, mmask, carry, t0, dropout_key, chunk_steps,
+            deterministic=True,
+        )
+
+    def apply_postnet(self, y):
+        """Postnet over an arbitrary frame window (streaming emission)."""
+        if self.postnet is None:
+            return y
+        return self.postnet(y, train=False, deterministic=True)
 
 
 def build_tacotron(cfg: TacotronConfig) -> Tacotron:

@@ -458,16 +458,22 @@ def _spectral_normalize(mod: nn.Module, kernel: jax.Array) -> jax.Array:
 
 
 class Dropout(nn.Module):
-    """Dropout with explicit deterministic flag (rng stream: 'dropout')."""
+    """Dropout with explicit deterministic flag (rng stream: 'dropout').
+
+    An explicit `rng` overrides the module stream — used by the tacotron AR
+    decoder so per-step masks are a pure function of (key, step index) and a
+    chunked decode reproduces the monolithic scan bit-for-bit
+    (models/tacotron/model.py decode_chunk)."""
 
     rate: float
 
     @nn.compact
-    def __call__(self, x, deterministic: bool):
+    def __call__(self, x, deterministic: bool, rng=None):
         if deterministic or self.rate == 0.0:
             return x
         keep = 1.0 - self.rate
-        rng = self.make_rng("dropout")
+        if rng is None:
+            rng = self.make_rng("dropout")
         mask = jax.random.bernoulli(rng, keep, x.shape)
         return jnp.where(mask, x / keep, 0.0)
 

@@ -58,11 +58,19 @@ class PreNet(nn.Module):
     activation: Callable = jax.nn.relu
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, rng=None):
+        # rng: explicit key for the (always-on) masks; per-layer folds keep
+        # the two masks independent. See ops/layers.Dropout.
         drop_on = self.always_dropout or not deterministic
         drop = Dropout(self.p_dropout)
-        x = drop(self.activation(Dense(self.dim_hidden, name="fc1")(x)), not drop_on)
-        x = drop(self.activation(Dense(self.dim_output, name="fc2")(x)), not drop_on)
+        k1 = k2 = None
+        if rng is not None and drop_on:
+            k1 = jax.random.fold_in(rng, 1)
+            k2 = jax.random.fold_in(rng, 2)
+        x = drop(self.activation(Dense(self.dim_hidden, name="fc1")(x)),
+                 not drop_on, rng=k1)
+        x = drop(self.activation(Dense(self.dim_output, name="fc2")(x)),
+                 not drop_on, rng=k2)
         return x
 
 
