@@ -322,34 +322,61 @@ class TacotronSynthesizer:
         kd, _kn = jax.random.split(base)
         memory, mmask, carry, buf = enc(self.variables, jnp.asarray(c), cl)
 
+        # one-chunk emission lookahead beyond the receptive-field margin: any
+        # LATER stop then lands past an emission's window, which (with
+        # emitted > 0) guarantees total >= W so the flush below stays exact —
+        # and total < W implies nothing was yielded yet, so the
+        # short-utterance fallback is clean. The max(.., W) keeps that
+        # invariant when chunk_frames < pad_frames (total >= decoded at first
+        # emission >= threshold >= W).
+        threshold = max(2 * chunk_frames + pad_frames, W)
         emitted = 0
-        decoded = 0  # frames actually written to buf
         t_final = None  # frames
+        flush_buf = buf
+        pending = None  # (decoded_frames, stopped_dev, buf_dev)
+
+        def process(p):
+            """Examine a COMPLETED chunk: detect the stop token, emit every
+            window that is final-safe. Returns the ready audio chunks."""
+            nonlocal t_final, emitted, flush_buf
+            decoded_p, stopped_p, buf_p = p
+            flush_buf = buf_p
+            flags = np.asarray(stopped_p[0])  # the per-chunk host sync
+            if flags.any():
+                t0_p = decoded_p // r - chunk_steps
+                t_final = (t0_p + int(np.argmax(flags)) + 1) * r
+                return []
+            outs = []
+            while decoded_p - emitted >= threshold:
+                wav = np.asarray(emit(self.variables, buf_p,
+                                      jnp.asarray(emitted, jnp.int32),
+                                      jnp.asarray(decoded_p, jnp.int32)))[0]
+                outs.append(wav.astype(np.float32))
+                emitted += chunk_frames
+            return outs
+
         for t0 in range(0, max_steps - chunk_steps + 1, chunk_steps):
+            # dispatch THIS chunk before syncing the previous one's stop
+            # flags: a one-deep pipeline — the AR scan executes on device
+            # while the host examines the last chunk, hiding the per-chunk
+            # round trip (it dominates TTFA through a tunneled backend). A
+            # stop found in chunk k wastes the already-dispatched k+1.
             carry, buf, stopped = chunk(
                 self.variables, memory, mmask, carry,
                 jnp.asarray(t0, jnp.int32), kd, buf,
             )
-            flags = np.asarray(stopped[0])  # [K] — the per-chunk host sync
-            decoded = (t0 + chunk_steps) * r
-            if flags.any():
-                t_final = (t0 + int(np.argmax(flags)) + 1) * r
-                break
-            # one-chunk lookahead beyond the receptive-field margin: any
-            # LATER stop then lands past this emission's window, which (with
-            # emitted > 0) guarantees total >= W so the flush below stays
-            # exact — and total < W implies nothing was yielded yet, so the
-            # short-utterance fallback is clean. The max(.., W) keeps that
-            # invariant when chunk_frames < pad_frames (total >= decoded at
-            # first emission >= threshold >= W).
-            threshold = max(2 * chunk_frames + pad_frames, W)
-            while decoded - emitted >= threshold:
-                wav = np.asarray(emit(self.variables, buf,
-                                      jnp.asarray(emitted, jnp.int32),
-                                      jnp.asarray(decoded, jnp.int32)))[0]
-                yield wav.astype(np.float32)
-                emitted += chunk_frames
-        total = t_final if t_final is not None else decoded
+            if pending is not None:
+                for wav in process(pending):
+                    yield wav
+                if t_final is not None:
+                    break
+            pending = ((t0 + chunk_steps) * r, stopped, buf)
+        if t_final is None and pending is not None:
+            for wav in process(pending):
+                yield wav
+        total = t_final if t_final is not None else (
+            pending[0] if pending is not None else 0
+        )
         if total < W:
             # too short for an exact flush window; emitted == 0 (see above):
             # one monolithic dispatch through the batch path
@@ -359,7 +386,7 @@ class TacotronSynthesizer:
             return
         while emitted < total:
             start = max(0, min(emitted, total - chunk_frames))
-            wav = np.asarray(emit(self.variables, buf,
+            wav = np.asarray(emit(self.variables, flush_buf,
                                   jnp.asarray(start, jnp.int32),
                                   jnp.asarray(total, jnp.int32)))[0]
             new = wav[(emitted - start) * hop : (total - start) * hop]
