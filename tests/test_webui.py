@@ -217,7 +217,7 @@ def taco_server_url():
         gen_kwargs=gk, sample_rate=8000, num_mels=20,
     )
     taco = TacotronSynthesizer(tcfg, variables, vocoder=voc,
-                               buckets=((32, 16),), batch_tiers=(1,))
+                               buckets=((32, 16),), batch_tiers=(1, 2))
 
     # minimal VITS2 synth (reuses the same tiny recipe as server_url)
     model_cfg = VITS2ModelConfig(
@@ -256,6 +256,7 @@ def taco_server_url():
     yield f"http://{host}:{port}"
     server.shutdown()
     batcher.close()
+    server.taco_batcher.close()
 
 
 def test_tts_taco_returns_wav(taco_server_url):
@@ -306,3 +307,34 @@ def test_tts_taco_stream_pcm_matches_wav(taco_server_url):
     num = float(np.dot(stream, wav))
     den = float(np.linalg.norm(stream) * np.linalg.norm(wav))
     assert den > 0 and num / den > 0.999
+
+
+def test_tts_taco_concurrent_requests_batch(taco_server_url):
+    """Concurrent /tts_taco requests ride the taco ContinuousBatcher (the
+    same queue->tier->dispatch machinery as /tts) and their traffic shows
+    up under the tts_taco_* metric prefix."""
+    results = [None, None]
+
+    def fetch(i, text):
+        with urllib.request.urlopen(
+            f"{taco_server_url}/tts_taco?text={text}&seed={i}", timeout=300
+        ) as r:
+            results[i] = r.read()
+
+    ts = [threading.Thread(target=fetch, args=(0, "hi%20there")),
+          threading.Thread(target=fetch, args=(1, "yes%20indeed"))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert all(r is not None and r[:4] == b"RIFF" for r in results)
+
+    with urllib.request.urlopen(f"{taco_server_url}/metrics", timeout=60) as r:
+        body = r.read().decode()
+    metrics = {l.split()[0]: float(l.split()[1])
+               for l in body.splitlines() if l and not l.startswith("#")}
+    assert metrics["tts_taco_requests_total"] >= 2
+    assert metrics["tts_taco_batches_total"] >= 1
+    assert (metrics["tts_taco_batched_requests_total"]
+            >= metrics["tts_taco_batches_total"])
+    assert "# TYPE tts_taco_queue_depth gauge" in body

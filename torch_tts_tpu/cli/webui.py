@@ -84,6 +84,11 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0", taco_synth=None):
     from torch_tts_tpu.infer.serving import ContinuousBatcher
 
     batcher = ContinuousBatcher(synth)
+    # the tacotron synthesizer exposes the same dispatch/collect interface,
+    # so concurrent /tts_taco requests share TPU batches too
+    taco_batcher = (
+        ContinuousBatcher(taco_synth) if taco_synth is not None else None
+    )
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # chunked transfer for /tts_stream
@@ -131,9 +136,9 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0", taco_synth=None):
                 q = urllib.parse.parse_qs(url.query)
                 text = q.get("text", ["hello"])[0]
                 try:
-                    r = taco_synth.synthesize(
-                        [text], seed=int(q.get("seed", ["1234"])[0])
-                    )[0]
+                    r = taco_batcher.submit(
+                        text, seed=int(q.get("seed", ["1234"])[0])
+                    ).result(timeout=600)
                 except Exception as e:
                     self._send(400, f"synthesis failed: {e}".encode(),
                                "text/plain; charset=utf-8")
@@ -234,6 +239,12 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0", taco_synth=None):
                     kind = ("gauge" if k == "queue_depth" else "counter")
                     lines.append(f"# TYPE {name} {kind}")
                     lines.append(f"{name} {v}")
+                if taco_batcher is not None:
+                    for k, v in sorted(taco_batcher.stats().items()):
+                        name = f"tts_taco_{k}"
+                        kind = ("gauge" if k == "queue_depth" else "counter")
+                        lines.append(f"# TYPE {name} {kind}")
+                        lines.append(f"{name} {v}")
                 lines.append("# TYPE tts_compiled_executables gauge")
                 lines.append(
                     f"tts_compiled_executables {len(synth._infer_cache)}")
@@ -255,6 +266,7 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0", taco_synth=None):
             logger.info("webui: " + fmt, *args)
 
     server = ThreadingHTTPServer((host, port), Handler)
+    server.taco_batcher = taco_batcher  # for caller shutdown (may be None)
     return server, batcher
 
 
@@ -265,6 +277,8 @@ def serve_stdlib(synth, port: int, taco_synth=None) -> None:
         server.serve_forever()
     finally:
         batcher.close()
+        if server.taco_batcher is not None:
+            server.taco_batcher.close()
 
 
 def main():

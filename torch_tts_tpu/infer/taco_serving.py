@@ -396,12 +396,93 @@ class TacotronSynthesizer:
 
     # -- synthesis ----------------------------------------------------------
 
-    def synthesize(self, texts: Sequence[str], seed: int = 0) -> List[SynthesisResult]:
+    def encode_text(self, text: str) -> np.ndarray:
+        return np.asarray(self.encoder.encode(text), np.int32)
+
+    @property
+    def max_batch(self) -> int:
+        return self.batch_tiers[-1]
+
+    def _dispatch_group(
+        self,
+        encoded: Sequence[np.ndarray],
+        scales=None,
+        key=None,
+        sid=None,
+        return_attn: bool = True,
+    ) -> dict:
+        """Dispatch one tier-padded group and sync on the (tiny)
+        stop_lengths fetch — forcing device execution — WITHOUT fetching the
+        audio; `_collect_group` pays that transfer. Same split (and the same
+        signature) as Synthesizer._dispatch_group, so ContinuousBatcher
+        drives both model families. `scales` is accepted and ignored (the AR
+        path has no noise/length scales); `sid` must be None (no
+        multi-speaker tacotron)."""
         import jax
         import jax.numpy as jnp
 
+        if sid is not None:
+            raise ValueError("tacotron serving has no speaker ids")
+        pad_text, max_steps = self._bucket_for(max(len(e) for e in encoded))
+        B = len(encoded)
+        tier = self._tier_for(B)
+        c = np.zeros((tier, pad_text), np.int32)
+        cl = np.ones((tier,), np.int32)  # pad rows: 1-token no-ops
+        for j, e in enumerate(encoded):
+            c[j, : len(e)] = e
+            cl[j] = len(e)
+        fn = self._infer_fn(tier, pad_text, max_steps)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        out = fn(self.variables, jnp.asarray(c), jnp.asarray(cl),
+                 jax.random.fold_in(key, tier))
+        return {
+            "out": out,
+            "stop": np.asarray(out["stop_lengths"]),
+            "B": B,
+            "return_attn": return_attn,
+        }
+
+    def _collect_group(self, h: dict) -> List[SynthesisResult]:
+        import jax.numpy as jnp
+
         r, hop = self.cfg.model.r, self.cfg.audio.hop_length
-        ids = [np.asarray(self.encoder.encode(t), np.int32) for t in texts]
+        out, stop, B = h["out"], h["stop"], h["B"]
+        attn = np.asarray(out["w"]) if h["return_attn"] else None
+        results = []
+        if self.vocoder is not None:
+            wav = np.asarray(out["wav"])  # [tier, max_steps*r*hop]
+            for j in range(B):
+                n = int(stop[j]) * r * hop
+                w = wav[j, :n]
+                peak = max(1e-6, float(np.abs(w).max()))
+                results.append(SynthesisResult(
+                    audio=(w / peak).astype(np.float32),
+                    sample_rate=self.cfg.audio.sample_rate,
+                    attn=attn[j, : int(stop[j])] if attn is not None else None,
+                ))
+        else:
+            from torch_tts_tpu.audio.frontend import m_rev
+
+            mel = np.asarray(out["mel"])
+            for j in range(B):
+                m = mel[j, : int(stop[j]) * r]
+                D_db = self.frontend.mel_inv(m_rev(jnp.asarray(m)))
+                w = np.asarray(
+                    self.frontend.decode(D_db, n_iter=self.gl_iters)
+                )
+                peak = max(1e-6, float(np.abs(w).max()))
+                results.append(SynthesisResult(
+                    audio=(w / peak).astype(np.float32),
+                    sample_rate=self.cfg.audio.sample_rate,
+                    attn=attn[j, : int(stop[j])] if attn is not None else None,
+                ))
+        return results
+
+    def synthesize(self, texts: Sequence[str], seed: int = 0) -> List[SynthesisResult]:
+        import jax
+
+        ids = [self.encode_text(t) for t in texts]
         order = sorted(range(len(ids)), key=lambda i: len(ids[i]))
         results: List[Optional[SynthesisResult]] = [None] * len(ids)
 
@@ -410,46 +491,13 @@ class TacotronSynthesizer:
         for i in order:
             groups.setdefault(self._bucket_for(len(ids[i])), []).append(i)
 
-        for (pad_text, max_steps), idxs in groups.items():
+        key = jax.random.PRNGKey(seed)
+        for (_pad_text, _max_steps), idxs in groups.items():
             pos = 0
             while pos < len(idxs):
-                take = idxs[pos : pos + self.batch_tiers[-1]]
+                take = idxs[pos : pos + self.max_batch]
                 pos += len(take)
-                tier = self._tier_for(len(take))
-                c = np.zeros((tier, pad_text), np.int32)
-                cl = np.ones((tier,), np.int32)  # pad rows: 1-token no-ops
-                for j, i in enumerate(take):
-                    c[j, : len(ids[i])] = ids[i]
-                    cl[j] = len(ids[i])
-                fn = self._infer_fn(tier, pad_text, max_steps)
-                out = fn(self.variables, jnp.asarray(c), jnp.asarray(cl),
-                         jax.random.fold_in(jax.random.PRNGKey(seed), tier))
-                stop = np.asarray(out["stop_lengths"])
-                if self.vocoder is not None:
-                    wav = np.asarray(out["wav"])  # [tier, max_steps*r*hop]
-                    for j, i in enumerate(take):
-                        n = int(stop[j]) * r * hop
-                        w = wav[j, :n]
-                        peak = max(1e-6, float(np.abs(w).max()))
-                        results[i] = SynthesisResult(
-                            audio=(w / peak).astype(np.float32),
-                            sample_rate=self.cfg.audio.sample_rate,
-                            attn=np.asarray(out["w"][j, : int(stop[j])]),
-                        )
-                else:
-                    from torch_tts_tpu.audio.frontend import m_rev
-
-                    mel = np.asarray(out["mel"])
-                    for j, i in enumerate(take):
-                        m = mel[j, : int(stop[j]) * r]
-                        D_db = self.frontend.mel_inv(m_rev(jnp.asarray(m)))
-                        w = np.asarray(
-                            self.frontend.decode(D_db, n_iter=self.gl_iters)
-                        )
-                        peak = max(1e-6, float(np.abs(w).max()))
-                        results[i] = SynthesisResult(
-                            audio=(w / peak).astype(np.float32),
-                            sample_rate=self.cfg.audio.sample_rate,
-                            attn=np.asarray(out["w"][j, : int(stop[j])]),
-                        )
+                h = self._dispatch_group([ids[i] for i in take], key=key)
+                for j, res in enumerate(self._collect_group(h)):
+                    results[take[j]] = res
         return results  # type: ignore[return-value]
