@@ -187,6 +187,22 @@ def test_stream_matches_batch_path(synth):
     np.testing.assert_allclose(wav / peak, ref.audio, rtol=1e-4, atol=2e-5)
 
 
+def test_stream_nondivisible_chunk_covers_tail(synth):
+    """chunk_steps that does NOT divide max_steps (true for 3 of the 4
+    default buckets at the default chunk=32) must still decode the tail
+    steps: the tail chunk overhangs max_steps in a whole-chunk buffer and
+    emission clamps to the valid region. Regression: the loop used to stop
+    at floor(max_steps/chunk)*chunk, silently truncating the audio."""
+    text = "a somewhat longer sentence here"
+    ref = synth.synthesize([text], seed=3)[0]  # bucket (32, 24)
+
+    chunks = list(synth.stream(text, seed=3, chunk_steps=5, pad_frames=16))
+    wav = np.concatenate(chunks)
+    assert wav.shape == ref.audio.shape  # 24 % 5 != 0: tail not dropped
+    peak = max(1e-6, float(np.abs(wav).max()))
+    np.testing.assert_allclose(wav / peak, ref.audio, rtol=1e-4, atol=2e-5)
+
+
 def test_stream_short_utterance_falls_back(synth):
     """A stop in the first chunks (total < one emission window) must fall
     back to the batch path before anything was yielded."""
@@ -215,7 +231,9 @@ def test_warmup_streaming_compiles_and_counts(synth):
     # bucket (16, 12): 12 groups * r2 = 24 frames < W=40 -> skipped;
     # bucket (32, 24): 48 frames >= 40 -> enc/chunk/emit compiled
     assert n == 3
-    assert len(synth._stream_cache) == len(BUCKETS)
+    # both buckets' program triples are cached under the warmed params
+    # (other tests in this module may have cached additional param keys)
+    assert {(16, 12, 4, 16), (32, 24, 4, 16)} <= set(synth._stream_cache)
 
 
 def test_stream_requires_vocoder():

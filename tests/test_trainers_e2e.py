@@ -388,6 +388,34 @@ def test_tacotron_trainer_resume_fast_forwards(tmp_path, rng):
     assert latest is not None and "3" in os.path.basename(latest)
 
 
+def test_tacotron_trainer_one_shot_iterator_trains_all_batches(tmp_path, rng):
+    """train() peeks one batch for setup(); when train_batches is a one-shot
+    generator that peek must be chained back, not silently dropped.
+    Regression: the first batch was consumed by setup and never trained on,
+    so a 3-batch generator produced step==2."""
+    import h5py  # noqa: F401
+
+    from torch_tts_tpu.data.tacotron_dataset import (
+        TacotronDatasetHDF5,
+        build_dataset_hdf5,
+        collate_tacotron,
+    )
+    from torch_tts_tpu.text.encoder import TextEncoder
+    from torch_tts_tpu.train.tacotron_train import TacotronTrainer
+
+    root = make_synth_ljspeech(tmp_path / "ds", rng, n=6, sr=8000)
+    h5_path = str(tmp_path / "cache.h5")
+    build_dataset_hdf5(root, TACO_TINY, h5_path)
+    enc = TextEncoder(TACO_TINY.text.alphabet, eos="#")
+    ds = TacotronDatasetHDF5(h5_path, enc)
+    batch = collate_tacotron([ds[i] for i in range(4)],
+                             pad_text_to=32, pad_frames_to=28, r=2)
+
+    trainer = TacotronTrainer(TACO_TINY, str(tmp_path / "taco_run"))
+    trainer.train((batch for _ in range(3)), num_epochs=1, log_interval=10)
+    assert int(jax.device_get(trainer.state.step)) == 3
+
+
 def test_vits2_trainer_resume_trajectory_exact(tmp_path, rng):
     """Kill-and-resume must continue the EXACT trajectory (round-3 roadmap:
     resume semantics were asserted but never proven): 2 epochs uninterrupted

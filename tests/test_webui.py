@@ -54,7 +54,8 @@ def server_url():
 
     from torch_tts_tpu.cli.webui import make_server
 
-    server, batcher = make_server(synth, port=0, host="127.0.0.1")
+    server, batcher = make_server(synth, port=0, host="127.0.0.1",
+                                  stream_chunks=(8, 64))
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     host, port = server.server_address
@@ -249,7 +250,8 @@ def taco_server_url():
     from torch_tts_tpu.cli.webui import make_server
 
     server, batcher = make_server(synth, port=0, host="127.0.0.1",
-                                  taco_synth=taco)
+                                  taco_synth=taco,
+                                  taco_stream_params=((4, 12),))
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     host, port = server.server_address
@@ -338,3 +340,19 @@ def test_tts_taco_concurrent_requests_batch(taco_server_url):
     assert (metrics["tts_taco_batched_requests_total"]
             >= metrics["tts_taco_batches_total"])
     assert "# TYPE tts_taco_queue_depth gauge" in body
+
+
+def test_stream_chunk_allowlist(server_url, taco_server_url):
+    """Off-allowlist stream params are 400, not a fresh executable compile:
+    stream programs are cached per distinct (chunk[, pad]), so the server
+    bounds client-chosen values (make_server stream_chunks /
+    taco_stream_params)."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(
+            f"{server_url}/tts_stream?text=hi&chunk=7", timeout=60)
+    assert e.value.code == 400 and b"allowed" in e.value.read()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(
+            f"{taco_server_url}/tts_taco_stream?text=hi&chunk=5&pad=13",
+            timeout=60)
+    assert e.value.code == 400 and b"allowed" in e.value.read()

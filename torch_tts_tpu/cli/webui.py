@@ -23,7 +23,11 @@ Endpoints (stdlib server):
                  X-Sample-Rate header) — audio bytes start flowing at
                  time-to-first-chunk (~5 ms decode on a v5e), not after the
                  full utterance is synthesized; over-bucket texts stream
-                 sentence-by-sentence (stream_long)
+                 sentence-by-sentence (stream_long). `chunk` (and the taco
+                 stream's chunk/pad) must be on the server's allowlist
+                 (make_server stream_chunks/taco_stream_params) — stream
+                 programs compile per distinct value, so client-chosen
+                 values are bounded; off-list -> 400
   GET /tts_taco?text=...[&seed=N]
                  -> audio/wav through the tacotron serving layer (when a
                  tacotron model is loaded; else 404)
@@ -68,7 +72,18 @@ def wav_bytes(audio, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
-def make_server(synth, port: int = 0, host: str = "0.0.0.0", taco_synth=None):
+def emit_pcm_chunk(wfile, a) -> None:
+    """Write one float audio array as an s16le chunked-transfer body chunk."""
+    import numpy as np
+
+    pcm = np.round(np.clip(a, -1.0, 1.0) * 32767).astype("<i2").tobytes()
+    wfile.write(f"{len(pcm):x}\r\n".encode())
+    wfile.write(pcm)
+    wfile.write(b"\r\n")
+
+
+def make_server(synth, port: int = 0, host: str = "0.0.0.0", taco_synth=None,
+                stream_chunks=(64,), taco_stream_params=((32, 48),)):
     """HTTP server over a ContinuousBatcher. Returns (server, batcher);
     callers run server.serve_forever() (a thread in tests, the main thread
     in `main`). ThreadingHTTPServer handles each request on its own thread,
@@ -77,11 +92,22 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0", taco_synth=None):
 
     With `taco_synth` (infer/taco_serving.TacotronSynthesizer), /tts_taco
     serves the AR model family through the same process — text -> AR mel ->
-    fused neural vocoder (or Griffin-Lim) in its own bucketed executables."""
+    fused neural vocoder (or Griffin-Lim) in its own bucketed executables.
+
+    `stream_chunks` / `taco_stream_params` are the SERVER-side allowlists
+    for the /tts_stream `chunk` and /tts_taco_stream `(chunk, pad)` query
+    params: stream programs are compiled and cached per distinct value, so
+    client-chosen values must be bounded or a query sweep would grow the
+    executable cache without limit (multi-minute server-side compiles each
+    through a tunneled backend) and dodge the --warmup guarantee. Off-list
+    values get a 400 naming the allowed ones."""
     import urllib.parse
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from torch_tts_tpu.infer.serving import ContinuousBatcher
+
+    stream_chunks = set(stream_chunks)
+    taco_stream_params = set(tuple(p) for p in taco_stream_params)
 
     batcher = ContinuousBatcher(synth)
     # the tacotron synthesizer exposes the same dispatch/collect interface,
@@ -145,19 +171,23 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0", taco_synth=None):
                     return
                 self._send(200, wav_bytes(r.audio, r.sample_rate), "audio/wav")
             elif url.path == "/tts_taco_stream":
-                import numpy as np
-
                 if taco_synth is None:
                     self._send(404, b"no tacotron model loaded",
                                "text/plain; charset=utf-8")
                     return
                 q = urllib.parse.parse_qs(url.query)
                 try:
+                    cp = (int(q.get("chunk", ["32"])[0]),
+                          int(q.get("pad", ["48"])[0]))
+                    if cp not in taco_stream_params:
+                        raise ValueError(
+                            f"unsupported (chunk, pad)={cp}; allowed: "
+                            f"{sorted(taco_stream_params)}")
                     chunks = taco_synth.stream(
                         q.get("text", ["hello"])[0],
                         seed=int(q.get("seed", ["1234"])[0]),
-                        chunk_steps=int(q.get("chunk", ["32"])[0]),
-                        pad_frames=int(q.get("pad", ["48"])[0]),
+                        chunk_steps=cp[0],
+                        pad_frames=cp[1],
                     )
                     first = next(chunks, None)
                 except Exception as e:
@@ -172,27 +202,22 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0", taco_synth=None):
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
 
-                def emit_taco(a) -> None:
-                    pcm = np.round(
-                        np.clip(a, -1.0, 1.0) * 32767
-                    ).astype("<i2").tobytes()
-                    self.wfile.write(f"{len(pcm):x}\r\n".encode())
-                    self.wfile.write(pcm)
-                    self.wfile.write(b"\r\n")
-
                 if first is not None:
-                    emit_taco(first)
+                    emit_pcm_chunk(self.wfile, first)
                     for a in chunks:
-                        emit_taco(a)
+                        emit_pcm_chunk(self.wfile, a)
                 self.wfile.write(b"0\r\n\r\n")
             elif url.path == "/tts_stream":
-                import numpy as np
-
                 q = urllib.parse.parse_qs(url.query)
                 try:
                     text = q.get("text", ["hello"])[0]
+                    chunk = int(q.get("chunk", ["64"])[0])
+                    if chunk not in stream_chunks:
+                        raise ValueError(
+                            f"unsupported chunk={chunk}; allowed: "
+                            f"{sorted(stream_chunks)}")
                     kw = dict(
-                        chunk_frames=int(q.get("chunk", ["64"])[0]),
+                        chunk_frames=chunk,
                         noise_scale=float(q.get("noise", ["0.667"])[0]),
                         length_scale=float(q.get("length", ["1.0"])[0]),
                         noise_scale_w=float(q.get("noise_w", ["0.8"])[0]),
@@ -220,16 +245,10 @@ def make_server(synth, port: int = 0, host: str = "0.0.0.0", taco_synth=None):
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
 
-                def emit(a) -> None:
-                    pcm = np.round(np.clip(a, -1.0, 1.0) * 32767).astype("<i2").tobytes()
-                    self.wfile.write(f"{len(pcm):x}\r\n".encode())
-                    self.wfile.write(pcm)
-                    self.wfile.write(b"\r\n")
-
                 if first is not None:
-                    emit(first)
+                    emit_pcm_chunk(self.wfile, first)
                     for a in chunks:
-                        emit(a)
+                        emit_pcm_chunk(self.wfile, a)
                 self.wfile.write(b"0\r\n\r\n")
             elif url.path == "/metrics":
                 s = batcher.stats()

@@ -254,7 +254,11 @@ class TacotronSynthesizer:
         K = chunk_steps
         chunk_frames = K * r
         W = chunk_frames + 2 * pad_frames
-        T_buf = max_steps * r
+        # whole chunks: when max_steps % K != 0 the tail chunk overhangs
+        # max_steps — the buffer holds the overhang, emission clamps to the
+        # valid max_steps*r frames (otherwise the tail steps of the decode
+        # would silently never run; 3 of the 4 default buckets hit this)
+        T_buf = (-(-max_steps // K)) * K * r
 
         @jax.jit
         def enc(variables, c, c_lengths):
@@ -311,9 +315,17 @@ class TacotronSynthesizer:
         ids = np.asarray(self.encoder.encode(text), np.int32)
         pad_text, max_steps = self._bucket_for(len(ids))
         r, hop = self.cfg.model.r, self.cfg.audio.hop_length
+        if (max_steps < chunk_steps
+                or max_steps * r < chunk_steps * r + 2 * pad_frames):
+            # bucket too small for one emission window (same guard as
+            # warmup_streaming): monolithic batch path, no stream programs
+            res = self.synthesize([text], seed=seed)[0]
+            yield res.audio
+            return
         enc, chunk, emit, chunk_frames, W = self._stream_fns(
             pad_text, max_steps, chunk_steps, pad_frames
         )
+        T_valid = max_steps * r  # frames beyond this are decode overhang
         c = np.zeros((1, pad_text), np.int32)
         c[0, : len(ids)] = ids
         cl = jnp.asarray([len(ids)], jnp.int32)
@@ -333,18 +345,21 @@ class TacotronSynthesizer:
         emitted = 0
         t_final = None  # frames
         flush_buf = buf
-        pending = None  # (decoded_frames, stopped_dev, buf_dev)
+        pending = None  # (t0_steps, stopped_dev, buf_dev)
 
         def process(p):
             """Examine a COMPLETED chunk: detect the stop token, emit every
             window that is final-safe. Returns the ready audio chunks."""
             nonlocal t_final, emitted, flush_buf
-            decoded_p, stopped_p, buf_p = p
+            t0_p, stopped_p, buf_p = p
             flush_buf = buf_p
+            # clamp to the valid region: the tail chunk may overhang
+            # max_steps, and a stop flag in the overhang is equivalent to
+            # the batch path's truncation at max_steps
+            decoded_p = min((t0_p + chunk_steps) * r, T_valid)
             flags = np.asarray(stopped_p[0])  # the per-chunk host sync
             if flags.any():
-                t0_p = decoded_p // r - chunk_steps
-                t_final = (t0_p + int(np.argmax(flags)) + 1) * r
+                t_final = min((t0_p + int(np.argmax(flags)) + 1) * r, T_valid)
                 return []
             outs = []
             while decoded_p - emitted >= threshold:
@@ -355,7 +370,8 @@ class TacotronSynthesizer:
                 emitted += chunk_frames
             return outs
 
-        for t0 in range(0, max_steps - chunk_steps + 1, chunk_steps):
+        n_chunks = -(-max_steps // chunk_steps)
+        for t0 in range(0, n_chunks * chunk_steps, chunk_steps):
             # dispatch THIS chunk before syncing the previous one's stop
             # flags: a one-deep pipeline — the AR scan executes on device
             # while the host examines the last chunk, hiding the per-chunk
@@ -370,12 +386,13 @@ class TacotronSynthesizer:
                     yield wav
                 if t_final is not None:
                     break
-            pending = ((t0 + chunk_steps) * r, stopped, buf)
+            pending = (t0, stopped, buf)
         if t_final is None and pending is not None:
             for wav in process(pending):
                 yield wav
         total = t_final if t_final is not None else (
-            pending[0] if pending is not None else 0
+            min((pending[0] + chunk_steps) * r, T_valid)
+            if pending is not None else 0
         )
         if total < W:
             # too short for an exact flush window; emitted == 0 (see above):
@@ -409,7 +426,7 @@ class TacotronSynthesizer:
         scales=None,
         key=None,
         sid=None,
-        return_attn: bool = True,
+        return_attn: bool = False,
     ) -> dict:
         """Dispatch one tier-padded group and sync on the (tiny)
         stop_lengths fetch — forcing device execution — WITHOUT fetching the
@@ -417,7 +434,10 @@ class TacotronSynthesizer:
         signature) as Synthesizer._dispatch_group, so ContinuousBatcher
         drives both model families. `scales` is accepted and ignored (the AR
         path has no noise/length scales); `sid` must be None (no
-        multi-speaker tacotron)."""
+        multi-speaker tacotron). `return_attn` defaults False (matching
+        Synthesizer) so batcher-driven serving never pays the
+        [tier, max_steps, pad_text] attention transfer nobody reads —
+        `synthesize()` opts in for the CLI's alignment plots."""
         import jax
         import jax.numpy as jnp
 
@@ -497,7 +517,8 @@ class TacotronSynthesizer:
             while pos < len(idxs):
                 take = idxs[pos : pos + self.max_batch]
                 pos += len(take)
-                h = self._dispatch_group([ids[i] for i in take], key=key)
+                h = self._dispatch_group([ids[i] for i in take], key=key,
+                                         return_attn=True)
                 for j, res in enumerate(self._collect_group(h)):
                     results[take[j]] = res
         return results  # type: ignore[return-value]

@@ -182,10 +182,22 @@ class TacotronTrainer:
             # setup (and its checkpoint restore) needs a sample batch; take
             # one eagerly so the resume arithmetic below sees the restored
             # step instead of assuming a fresh run
-            first = next(iter(train_batches), None)
+            it = iter(train_batches)
+            first = next(it, None)
             if first is None:
                 return
             self.setup(first)
+            if it is train_batches:
+                # one-shot iterator: put the setup batch back so it is
+                # trained on, not silently dropped
+                import itertools
+
+                train_batches = itertools.chain([first], it)
+                if num_epochs > 1:
+                    logger.warning(
+                        "train_batches is a one-shot iterator; epochs after "
+                        "the first will see it exhausted — pass a "
+                        "re-iterable for multi-epoch training")
         step = int(jax.device_get(self.state.step))
         # epoch-boundary-exact resume, same discipline as VITS2Trainer: the
         # per-step key is derived (fold_in(seed, step)), and when the batch
