@@ -18,44 +18,17 @@ import time
 import numpy as np
 
 
-def _await_usable_tpu(max_wait_s: float = 900.0, probe_timeout_s: float = 90.0):
-    """Pre-flight: poll the tunnel with scripts/tpu_health (subprocess-bounded
-    probes) until a dispatch+fetch round trip succeeds, or give up.
-
-    Rationale: the tunnel has a half-down mode where devices enumerate but
-    every result fetch wedges for minutes+ AND the blocked process ignores
-    SIGTERM (CLAUDE.md). Without this guard the benchmark hangs unkillably at
-    its first fetch; with it, a wedged tunnel produces a clean nonzero exit
-    (no JSON on stdout) within the bounded wait.
-    """
+def _await_usable_tpu(max_wait_s: float = 900.0):
+    """Pre-flight against the tunnel's half-down mode — shared implementation
+    lives in scripts/tpu_health.py (await_usable_tpu) so every real-TPU bench
+    entry point gets the same guard."""
     import os
-    import subprocess
 
-    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "scripts", "tpu_health.py")
-    deadline = time.perf_counter() + max_wait_s
-    attempt = 0
-    while True:
-        attempt += 1
-        proc = subprocess.run(
-            [sys.executable, probe, "--stages", "2",
-             "--timeout", str(probe_timeout_s)],
-            capture_output=True, text=True,
-        )
-        if proc.returncode == 0:
-            if attempt > 1:
-                print(f"tpu pre-flight: recovered on attempt {attempt}",
-                      file=sys.stderr)
-            return
-        remaining = deadline - time.perf_counter()
-        print(f"tpu pre-flight attempt {attempt} failed: "
-              f"{proc.stdout.strip() or proc.stderr.strip()[-200:]}",
-              file=sys.stderr)
-        if remaining <= 0:
-            print("tpu pre-flight: tunnel unusable (device fetches wedge); "
-                  "refusing to start an unkillable benchmark", file=sys.stderr)
-            raise SystemExit(3)
-        time.sleep(min(60.0, remaining))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts"))
+    from tpu_health import await_usable_tpu
+
+    await_usable_tpu(max_wait_s=max_wait_s)
 
 
 def main():

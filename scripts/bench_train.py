@@ -120,4 +120,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from tpu_health import await_usable_tpu
+
+    await_usable_tpu()  # half-down-tunnel guard (see scripts/tpu_health.py)
     main()

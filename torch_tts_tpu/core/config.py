@@ -101,6 +101,14 @@ class VITS2ModelConfig:
 
     segment_size: int = 8192  # in samples
 
+    # Structural depth knobs (defaults = reference parity: WN(16) posterior
+    # models.py:858-897, 4 coupling steps models.py:813-855). Only non-default
+    # in throwaway configs that must compile fast (e.g. the driver's
+    # dryrun_multichip tiny config) — sharding correctness doesn't depend on
+    # depth, compile time does.
+    posterior_wn_layers: int = 16
+    flow_n_flows: int = 4
+
     def __post_init__(self):
         # JSON/YAML gives lists; normalize to tuples so the config is hashable
         # (a hashable config can be a static jit argument).

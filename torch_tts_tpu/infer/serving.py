@@ -55,6 +55,54 @@ DEFAULT_BUCKETS = ((64, 384), (128, 768), (256, 1344), (512, 2048))
 DEFAULT_BATCH_TIERS = (1, 2, 8)
 
 
+class FetchTimeoutError(RuntimeError):
+    """A device->host fetch exceeded its deadline.
+
+    The tunneled TPU in this image has a 'half-down' failure mode where
+    dispatch succeeds but result fetches wedge for minutes and ignore
+    SIGTERM (CLAUDE.md; r4's driver bench needed 5 pre-flight attempts).
+    A serving loop must fail the affected requests and keep draining the
+    queue instead of wedging with them."""
+
+
+def _device_fetch(arr):
+    """The raw device->host transfer. Single seam for fault injection in
+    tests (monkeypatch this to simulate a wedged tunnel)."""
+    return np.asarray(arr)
+
+
+def fetch_with_deadline(arr, timeout_s: Optional[float]):
+    """np.asarray(arr) bounded by a deadline.
+
+    With `timeout_s=None` this is a plain fetch. Otherwise the fetch runs in
+    a fresh daemon thread; on expiry a FetchTimeoutError is raised and the
+    thread is abandoned (a fetch wedged inside the PJRT client cannot be
+    cancelled — it ignores SIGTERM too — so abandoning it is the only way to
+    keep the caller alive; the thread exits if/when the tunnel recovers)."""
+    if timeout_s is None:
+        return _device_fetch(arr)
+    box: list = []
+
+    def run():
+        try:
+            box.append(("ok", _device_fetch(arr)))
+        except Exception as e:  # surfaced below if it beat the deadline
+            box.append(("err", e))
+
+    t = threading.Thread(target=run, daemon=True, name="tts-fetch")
+    t.start()
+    t.join(timeout_s)
+    if not box:
+        raise FetchTimeoutError(
+            f"device fetch exceeded {timeout_s:.1f}s deadline "
+            "(tunnel half-down? see scripts/tpu_health.py)"
+        )
+    kind, val = box[0]
+    if kind == "err":
+        raise val
+    return val
+
+
 def bucket_for(buckets: Sequence[Tuple[int, int]], n_tokens: int) -> Tuple[int, int]:
     """Smallest (max_len, max_out) bucket admitting n_tokens; raises when the
     text exceeds every bucket (callers split long texts first). Shared by the
@@ -132,6 +180,7 @@ class Synthesizer:
         mesh=None,
         transfer_dtype: str = "int16",
         slice_quanta: int = 8,
+        fetch_timeout_s: Optional[float] = None,
     ):
         import jax
 
@@ -160,6 +209,11 @@ class Synthesizer:
                              f"got {transfer_dtype!r}")
         self.transfer_dtype = transfer_dtype
         self.slice_quanta = int(slice_quanta)
+        # per-fetch watchdog deadline (None = unbounded). Settable via env
+        # for the CLIs/webui without threading a flag through every caller.
+        if fetch_timeout_s is None and os.environ.get("TTS_FETCH_TIMEOUT_S"):
+            fetch_timeout_s = float(os.environ["TTS_FETCH_TIMEOUT_S"])
+        self.fetch_timeout_s = fetch_timeout_s
         self.params = params
         self.buckets = sorted(buckets)
         self.batch_tiers = sorted(batch_tiers)
@@ -168,6 +222,10 @@ class Synthesizer:
         self._aux_cache = {}     # streaming prefix fns / StreamingDecoders
         self._SynthesizerTrn = SynthesizerTrn
         self._jax = jax
+
+    def _fetch(self, arr):
+        """Deadline-bounded device->host fetch (see fetch_with_deadline)."""
+        return fetch_with_deadline(arr, self.fetch_timeout_s)
 
     @classmethod
     def from_run_dir(cls, config_path: str, model_dir: str,
@@ -417,7 +475,7 @@ class Synthesizer:
         )
         return {
             "prefixes": prefixes,
-            "y_lengths": np.asarray(y_lengths),
+            "y_lengths": self._fetch(y_lengths),
             "attn": attn,
             "B": B,
             "max_frames": max_frames,
@@ -437,13 +495,13 @@ class Synthesizer:
         full = h["max_frames"] * hop
         chunk = max(1, full // len(prefixes))
         used = min(full, max(1, int(y_lengths[:B].max())) * hop)
-        audio = np.asarray(prefixes[min(len(prefixes) - 1,
-                                        (used - 1) // chunk)])
+        audio = self._fetch(prefixes[min(len(prefixes) - 1,
+                                         (used - 1) // chunk)])
         if audio.dtype == np.int16:
             audio = audio.astype(np.float32) / 32767.0
         # debug path: fetch attn as ONE whole-array transfer (a per-row
         # eager slice would compile a program per row index)
-        attn = np.asarray(h["attn"]) if h["return_attn"] else None
+        attn = self._fetch(h["attn"]) if h["return_attn"] else None
         return [
             SynthesisResult(
                 audio=audio[row, : int(y_lengths[row]) * hop, 0],
@@ -576,7 +634,7 @@ class Synthesizer:
             jax.random.PRNGKey(seed),
         )
         hop = self.cfg.audio.hop_length
-        n_total = int(np.asarray(y_lengths)[0]) * hop
+        n_total = int(self._fetch(y_lengths)[0]) * hop
 
         dkey = ("streamdec", chunk_frames, context_frames)
         sd = self._aux_cache.get(dkey)
@@ -587,7 +645,7 @@ class Synthesizer:
             self._aux_cache[dkey] = sd
         emitted = 0
         for piece in sd.stream(z, g, y_mask):
-            a = np.asarray(piece)[0, :, 0]
+            a = self._fetch(piece)[0, :, 0]
             if emitted + len(a) > n_total:
                 a = a[: n_total - emitted]
             emitted += len(a)
@@ -690,6 +748,7 @@ class ContinuousBatcher:
         self._stats = {
             "requests_total": 0,
             "failures_total": 0,
+            "fetch_timeouts_total": 0,
             "batches_total": 0,
             "batched_requests_total": 0,
             "dispatch_ms_sum": 0.0,
@@ -786,11 +845,16 @@ class ContinuousBatcher:
                 out = self.synth._collect_group(h)
                 for r, res in zip(bin_reqs, out):
                     r.future.set_result(res)
-            except Exception as e:  # surface the error to callers
+            except Exception as e:  # surface the error to callers; a
+                # FetchTimeoutError (half-down tunnel) fails THIS group
+                # fast while the loop keeps draining the queue
                 for r in bin_reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
                 self._count(failures_total=len(bin_reqs))
+                if isinstance(e, FetchTimeoutError):
+                    self._count(fetch_timeouts_total=1)
+                    logger.warning("collect: %s", e)
             dt = time.perf_counter() - t0
             self._count(batches_total=1,
                         batched_requests_total=len(bin_reqs),
@@ -841,6 +905,9 @@ class ContinuousBatcher:
                         self._count(failures_total=len(bin_reqs),
                                     batches_total=1,
                                     batched_requests_total=len(bin_reqs))
+                        if isinstance(e, FetchTimeoutError):
+                            self._count(fetch_timeouts_total=1)
+                            logger.warning("dispatch: %s", e)
                         continue
                     if pending is not None:
                         collect(pending)

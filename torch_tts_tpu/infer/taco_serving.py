@@ -50,6 +50,7 @@ class TacotronSynthesizer:
         buckets: Sequence[Tuple[int, int]] = DEFAULT_TACO_BUCKETS,
         batch_tiers: Sequence[int] = DEFAULT_TACO_TIERS,
         griffin_lim_iters: int = 32,
+        fetch_timeout_s: Optional[float] = None,
     ):
         import jax
 
@@ -79,6 +80,18 @@ class TacotronSynthesizer:
         self.gl_iters = griffin_lim_iters
         self._fns: dict = {}  # (tier, pad_text, max_steps) -> batch program
         self._stream_cache: dict = {}  # streaming program triples per bucket
+        # per-fetch watchdog (half-down tunnel protection; see
+        # serving.fetch_with_deadline). None = unbounded.
+        import os
+
+        if fetch_timeout_s is None and os.environ.get("TTS_FETCH_TIMEOUT_S"):
+            fetch_timeout_s = float(os.environ["TTS_FETCH_TIMEOUT_S"])
+        self.fetch_timeout_s = fetch_timeout_s
+
+    def _fetch(self, arr):
+        from torch_tts_tpu.infer.serving import fetch_with_deadline
+
+        return fetch_with_deadline(arr, self.fetch_timeout_s)
 
     @classmethod
     def from_run_dir(
@@ -357,15 +370,15 @@ class TacotronSynthesizer:
             # max_steps, and a stop flag in the overhang is equivalent to
             # the batch path's truncation at max_steps
             decoded_p = min((t0_p + chunk_steps) * r, T_valid)
-            flags = np.asarray(stopped_p[0])  # the per-chunk host sync
+            flags = self._fetch(stopped_p[0])  # the per-chunk host sync
             if flags.any():
                 t_final = min((t0_p + int(np.argmax(flags)) + 1) * r, T_valid)
                 return []
             outs = []
             while decoded_p - emitted >= threshold:
-                wav = np.asarray(emit(self.variables, buf_p,
-                                      jnp.asarray(emitted, jnp.int32),
-                                      jnp.asarray(decoded_p, jnp.int32)))[0]
+                wav = self._fetch(emit(self.variables, buf_p,
+                                       jnp.asarray(emitted, jnp.int32),
+                                       jnp.asarray(decoded_p, jnp.int32)))[0]
                 outs.append(wav.astype(np.float32))
                 emitted += chunk_frames
             return outs
@@ -403,9 +416,9 @@ class TacotronSynthesizer:
             return
         while emitted < total:
             start = max(0, min(emitted, total - chunk_frames))
-            wav = np.asarray(emit(self.variables, flush_buf,
-                                  jnp.asarray(start, jnp.int32),
-                                  jnp.asarray(total, jnp.int32)))[0]
+            wav = self._fetch(emit(self.variables, flush_buf,
+                                   jnp.asarray(start, jnp.int32),
+                                   jnp.asarray(total, jnp.int32)))[0]
             new = wav[(emitted - start) * hop : (total - start) * hop]
             if new.size:
                 yield new.astype(np.float32)
@@ -458,7 +471,7 @@ class TacotronSynthesizer:
                  jax.random.fold_in(key, tier))
         return {
             "out": out,
-            "stop": np.asarray(out["stop_lengths"]),
+            "stop": self._fetch(out["stop_lengths"]),
             "B": B,
             "return_attn": return_attn,
         }
@@ -468,10 +481,10 @@ class TacotronSynthesizer:
 
         r, hop = self.cfg.model.r, self.cfg.audio.hop_length
         out, stop, B = h["out"], h["stop"], h["B"]
-        attn = np.asarray(out["w"]) if h["return_attn"] else None
+        attn = self._fetch(out["w"]) if h["return_attn"] else None
         results = []
         if self.vocoder is not None:
-            wav = np.asarray(out["wav"])  # [tier, max_steps*r*hop]
+            wav = self._fetch(out["wav"])  # [tier, max_steps*r*hop]
             for j in range(B):
                 n = int(stop[j]) * r * hop
                 w = wav[j, :n]
@@ -484,7 +497,7 @@ class TacotronSynthesizer:
         else:
             from torch_tts_tpu.audio.frontend import m_rev
 
-            mel = np.asarray(out["mel"])
+            mel = self._fetch(out["mel"])
             for j in range(B):
                 m = mel[j, : int(stop[j]) * r]
                 D_db = self.frontend.mel_inv(m_rev(jnp.asarray(m)))

@@ -582,7 +582,8 @@ class SynthesizerTrn(nn.Module):
                 fuse_mrf=getattr(c, "fuse_mrf", False),
             )
         self.enc_q = PosteriorEncoder(
-            c.inter_channels, c.hidden_channels, 5, 1, 16, gin_channels=c.gin_channels
+            c.inter_channels, c.hidden_channels, 5, 1,
+            getattr(c, "posterior_wn_layers", 16), gin_channels=c.gin_channels
         )
         self.flow = FlowBlock(
             c.inter_channels,
@@ -590,6 +591,7 @@ class SynthesizerTrn(nn.Module):
             5,
             1,
             4,
+            n_flows=getattr(c, "flow_n_flows", 4),
             gin_channels=c.gin_channels,
             use_transformer_flows=c.use_transformer_flows,
             transformer_flow_type=c.transformer_flow_type,

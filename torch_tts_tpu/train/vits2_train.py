@@ -103,11 +103,17 @@ def create_train_state(
     steps_per_epoch: int = 1000,
     sample_batch: Optional[Dict[str, jax.Array]] = None,
     tx=None,
+    jit_init: bool = True,
 ) -> Tuple[TrainState, Any]:
     """Initialize all networks + optimizers. Returns (state, optimizer).
 
     `tx` overrides the optimizer (must already include any MultiSteps wrap —
-    use make_optimizer(cfg, inner=...) to build it)."""
+    use make_optimizer(cfg, inner=...) to build it).
+
+    `jit_init=False` runs the flax initializers eagerly — on a local CPU
+    backend op-by-op dispatch is cheap and it skips two full XLA compiles of
+    the training forward; keep the default (jitted) on the tunneled TPU where
+    per-op round-trips dominate."""
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
     k_g, k_d, k_dur, k_noise, k_drop = jax.random.split(rng, 5)
     b = sample_batch
@@ -117,16 +123,16 @@ def create_train_state(
     sid = b.get("sid") if cfg.model.n_speakers > 1 else None
     # jit the initializers: one compiled program instead of thousands of
     # op-by-op dispatches (matters a lot on remote/tunneled devices)
-    vars_g = jax.jit(
-        lambda: model.init(
-            init_rngs, b["x"], b["x_lengths"], b["spec"], b["spec_lengths"], sid=sid
-        )
-    )()
+    init_g = lambda: model.init(
+        init_rngs, b["x"], b["x_lengths"], b["spec"], b["spec_lengths"], sid=sid
+    )
+    vars_g = jax.jit(init_g)() if jit_init else init_g()
     params_g = vars_g["params"]
 
     seg = cfg.model.segment_size
     dummy_wav = jnp.zeros((b["x"].shape[0], seg, 1))
-    vars_d = jax.jit(lambda: mpd.init({"params": k_d}, dummy_wav, dummy_wav))()
+    init_d = lambda: mpd.init({"params": k_d}, dummy_wav, dummy_wav)
+    vars_d = jax.jit(init_d)() if jit_init else init_d()
     params_d = vars_d["params"]
 
     state = TrainState(
