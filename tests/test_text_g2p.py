@@ -160,9 +160,16 @@ def test_g2p_accuracy_vs_cmudict_sample():
         stats[subset] = (exact / len(sel), exact_ns / len(sel),
                          per_num / per_den)
 
+    # Round-5 measured: all 0.988/0.992/0.002, lexicon 0.990/0.995/0.001,
+    # rules 0.978/0.978/0.005 (scripts/g2p_eval.py). The rule ENGINE alone
+    # (measured before the round-5 lexicon expansion, on the then-92-word
+    # out-of-lexicon subset) improved 0.620 -> 0.837 word accuracy / 0.107
+    # -> 0.057 PER from the %-suffix end-anchoring, y-as-vowel contexts,
+    # doubled-consonant + silent-letter rules, one-primary-stress pass, and
+    # the stem-resolving morphology layer. Floors pinned with headroom:
     acc, acc_ns, per = stats["all"]
-    assert acc >= 0.80 and acc_ns >= 0.84 and per <= 0.08, stats
+    assert acc >= 0.95 and acc_ns >= 0.96 and per <= 0.01, stats
     acc, acc_ns, per = stats["lexicon"]
     assert acc >= 0.97 and per <= 0.01, stats
     acc, acc_ns, per = stats["rules"]
-    assert acc_ns >= 0.60 and per <= 0.15, stats
+    assert acc_ns >= 0.90 and per <= 0.03, stats

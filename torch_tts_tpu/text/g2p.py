@@ -309,6 +309,193 @@ LEXICON: Dict[str, str] = {
     "voice": "V OY1 S", "speech": "S P IY1 CH",
 }
 
+# Frequency-ranked expansion (round 5): the next tier of common English —
+# words whose spellings are irregular enough that the rule engine audibly
+# misses them, ordered roughly by corpus frequency. ARPAbet follows CMUdict
+# conventions (primary variant only).
+LEXICON.update({
+    "people": "P IY1 P AH0 L", "water": "W AO1 T ER0",
+    "little": "L IH1 T AH0 L", "world": "W ER1 L D",
+    "school": "S K UW1 L", "still": "S T IH1 L",
+    "every": "EH1 V ER0 IY0", "great": "G R EY1 T",
+    "should": "SH UH1 D", "country": "K AH1 N T R IY0",
+    "something": "S AH1 M TH IH0 NG", "thought": "TH AO1 T",
+    "together": "T AH0 G EH1 DH ER0", "children": "CH IH1 L D R AH0 N",
+    "example": "IH0 G Z AE1 M P AH0 L", "paper": "P EY1 P ER0",
+    "music": "M Y UW1 Z IH0 K", "question": "K W EH1 S CH AH0 N",
+    "enough": "IH0 N AH1 F", "almost": "AO1 L M OW2 S T",
+    "above": "AH0 B AH1 V", "sometimes": "S AH1 M T AY2 M Z",
+    "mountain": "M AW1 N T AH0 N", "young": "Y AH1 NG",
+    "family": "F AE1 M AH0 L IY0", "usually": "Y UW1 ZH AH0 W AH0 L IY0",
+    "really": "R IH1 L IY0", "morning": "M AO1 R N IH0 NG",
+    "island": "AY1 L AH0 N D", "idea": "AY0 D IY1 AH0",
+    "body": "B AA1 D IY0", "money": "M AH1 N IY0",
+    "business": "B IH1 Z N AH0 S", "important": "IH0 M P AO1 R T AH0 N T",
+    "once": "W AH1 N S", "friend": "F R EH1 N D",
+    "woman": "W UH1 M AH0 N", "women": "W IH1 M AH0 N",
+    "machine": "M AH0 SH IY1 N", "special": "S P EH1 SH AH0 L",
+    "heavy": "HH EH1 V IY0", "ocean": "OW1 SH AH0 N",
+    "measure": "M EH1 ZH ER0", "pleasure": "P L EH1 ZH ER0",
+    "treasure": "T R EH1 ZH ER0", "building": "B IH1 L D IH0 NG",
+    "minute": "M IH1 N AH0 T", "minutes": "M IH1 N AH0 T S",
+    "color": "K AH1 L ER0", "colour": "K AH1 L ER0",
+    "early": "ER1 L IY0", "easy": "IY1 Z IY0",
+    "hour": "AW1 ER0", "hours": "AW1 ER0 Z",
+    "iron": "AY1 ER0 N", "answer": "AE1 N S ER0",
+    "often": "AO1 F AH0 N", "listen": "L IH1 S AH0 N",
+    "whole": "HH OW1 L", "heart": "HH AA1 R T",
+    "half": "HH AE1 F", "talk": "T AO1 K", "walk": "W AO1 K",
+    "watch": "W AA1 CH", "father": "F AA1 DH ER0",
+    "mother": "M AH1 DH ER0", "brother": "B R AH1 DH ER0",
+    "daughter": "D AO1 T ER0", "cousin": "K AH1 Z AH0 N",
+    "earth": "ER1 TH", "learn": "L ER1 N", "heard": "HH ER1 D",
+    "height": "HH AY1 T", "weight": "W EY1 T",
+    "eight": "EY1 T", "eighty": "EY1 T IY0",
+    "busy": "B IH1 Z IY0", "sugar": "SH UH1 G ER0",
+    "sure": "SH UH1 R", "truth": "T R UW1 TH",
+    "beautifully": "B Y UW1 T AH0 F L IY0", "ready": "R EH1 D IY0",
+    "among": "AH0 M AH1 NG", "front": "F R AH1 N T",
+    "month": "M AH1 N TH", "months": "M AH1 N TH S",
+    "touch": "T AH1 CH", "blood": "B L AH1 D", "flood": "F L AH1 D",
+    "door": "D AO1 R", "floor": "F L AO1 R", "poor": "P UH1 R",
+    "break": "B R EY1 K", "steak": "S T EY1 K",
+    "heavyweight": "HH EH1 V IY0 W EY2 T",
+    "eye": "AY1", "eyes": "AY1 Z", "dead": "D EH1 D",
+    "death": "D EH1 TH", "bread": "B R EH1 D", "breath": "B R EH1 TH",
+    "breathe": "B R IY1 DH", "weather": "W EH1 DH ER0",
+    "whether": "W EH1 DH ER0", "neither": "N IY1 DH ER0",
+    "either": "IY1 DH ER0", "straight": "S T R EY1 T",
+    "built": "B IH1 L T", "guess": "G EH1 S", "guest": "G EH1 S T",
+    "guide": "G AY1 D", "guard": "G AA1 R D",
+    "quiet": "K W AY1 AH0 T", "quite": "K W AY1 T",
+    "science": "S AY1 AH0 N S", "scene": "S IY1 N",
+    "scissors": "S IH1 Z ER0 Z", "muscle": "M AH1 S AH0 L",
+    "castle": "K AE1 S AH0 L", "whistle": "W IH1 S AH0 L",
+    "christmas": "K R IH1 S M AH0 S", "chorus": "K AO1 R AH0 S",
+    "chemistry": "K EH1 M AH0 S T R IY0", "character": "K EH1 R IH0 K T ER0",
+    "stomach": "S T AH1 M AH0 K", "echo": "EH1 K OW0",
+    "orchestra": "AO1 R K AH0 S T R AH0", "ache": "EY1 K",
+    "anchor": "AE1 NG K ER0", "tongue": "T AH1 NG", "fatigue": "F AH0 T IY1 G",
+    "antique": "AE0 N T IY1 K", "unique": "Y UW0 N IY1 K",
+    "giant": "JH AY1 AH0 N T", "ginger": "JH IH1 N JH ER0",
+    "danger": "D EY1 N JH ER0", "dangerous": "D EY1 N JH ER0 AH0 S",
+    "angel": "EY1 N JH AH0 L", "angle": "AE1 NG G AH0 L",
+    "engine": "EH1 N JH AH0 N", "energy": "EH1 N ER0 JH IY0",
+    "magic": "M AE1 JH IH0 K", "region": "R IY1 JH AH0 N",
+    "religion": "R IH0 L IH1 JH AH0 N", "soldier": "S OW1 L JH ER0",
+    "laugh": "L AE1 F", "laughter": "L AE1 F T ER0",
+    "cough": "K AO1 F", "rough": "R AH1 F", "tough": "T AH1 F",
+    "though": "DH OW1", "although": "AO0 L DH OW1",
+    "thorough": "TH ER1 OW0", "brought": "B R AO1 T",
+    "bought": "B AO1 T", "caught": "K AO1 T", "taught": "T AO1 T",
+    "fought": "F AO1 T", "sought": "S AO1 T", "naughty": "N AO1 T IY0",
+    "neighbor": "N EY1 B ER0", "neighbour": "N EY1 B ER0",
+    "weigh": "W EY1", "sleigh": "S L EY1",
+    "comb": "K OW1 M", "climb": "K L AY1 M", "thumb": "TH AH1 M",
+    "crumb": "K R AH1 M", "debt": "D EH1 T", "doubt": "D AW1 T",
+    "subtle": "S AH1 T AH0 L", "honest": "AA1 N AH0 S T",
+    "honor": "AA1 N ER0", "honour": "AA1 N ER0", "ghost": "G OW1 S T",
+    "receipt": "R IH0 S IY1 T", "psalm": "S AA1 M",
+    "calm": "K AA1 M", "palm": "P AA1 M",
+    "photo": "F OW1 T OW0", "photograph": "F OW1 T AH0 G R AE2 F",
+    "telephone": "T EH1 L AH0 F OW2 N", "television": "T EH1 L AH0 V IH2 ZH AH0 N",
+    "computer": "K AH0 M P Y UW1 T ER0", "company": "K AH1 M P AH0 N IY0",
+    "complete": "K AH0 M P L IY1 T", "common": "K AA1 M AH0 N",
+    "problem": "P R AA1 B L AH0 M", "possible": "P AA1 S AH0 B AH0 L",
+    "probably": "P R AA1 B AH0 B L IY0", "promise": "P R AA1 M AH0 S",
+    "police": "P AH0 L IY1 S", "nature": "N EY1 CH ER0", "natural": "N AE1 CH ER0 AH0 L",
+    "picture": "P IH1 K CH ER0", "future": "F Y UW1 CH ER0",
+    "culture": "K AH1 L CH ER0", "capture": "K AE1 P CH ER0",
+    "century": "S EH1 N CH ER0 IY0", "cycle": "S AY1 K AH0 L", "bicycle": "B AY1 S IH0 K AH0 L",
+    "recycle": "R IY0 S AY1 K AH0 L", "oxygen": "AA1 K S AH0 JH AH0 N",
+    "dog": "D AO1 G", "dogs": "D AO1 G Z", "cat": "K AE1 T",
+    "horse": "HH AO1 R S", "bird": "B ER1 D", "bear": "B EH1 R",
+    "wolf": "W UH1 L F", "lion": "L AY1 AH0 N",
+    "tiger": "T AY1 G ER0", "mouse": "M AW1 S", "snake": "S N EY1 K",
+    "box": "B AA1 K S", "boxes": "B AA1 K S IH0 Z",
+    "orange": "AO1 R AH0 N JH", "purple": "P ER1 P AH0 L",
+    "circle": "S ER1 K AH0 L", "square": "S K W EH1 R",
+    "triangle": "T R AY1 AE2 NG G AH0 L", "middle": "M IH1 D AH0 L",
+    "table": "T EY1 B AH0 L",
+    "apple": "AE1 P AH0 L", "bottle": "B AA1 T AH0 L",
+    "double": "D AH1 B AH0 L", "trouble": "T R AH1 B AH0 L",
+    "couple": "K AH1 P AH0 L", "single": "S IH1 NG G AH0 L",
+    "simple": "S IH1 M P AH0 L", "certain": "S ER1 T AH0 N", "certainly": "S ER1 T AH0 N L IY0",
+    "curtain": "K ER1 T AH0 N", "captain": "K AE1 P T AH0 N",
+    "britain": "B R IH1 T AH0 N", "australia": "AO0 S T R EY1 L Y AH0", "america": "AH0 M EH1 R AH0 K AH0",
+    "europe": "Y UH1 R AH0 P", "africa": "AE1 F R IH0 K AH0",
+    "india": "IH1 N D IY0 AH0", "china": "CH AY1 N AH0",
+    "japan": "JH AH0 P AE1 N", "france": "F R AE1 N S",
+    "london": "L AH1 N D AH0 N", "january": "JH AE1 N Y UW0 EH2 R IY0",
+    "february": "F EH1 B Y AH0 W EH2 R IY0", "march": "M AA1 R CH",
+    "april": "EY1 P R AH0 L", "june": "JH UW1 N",
+    "july": "JH UW0 L AY1", "august": "AO1 G AH0 S T",
+    "september": "S EH0 P T EH1 M B ER0", "october": "AA0 K T OW1 B ER0",
+    "november": "N OW0 V EH1 M B ER0", "december": "D IH0 S EH1 M B ER0",
+    "monday": "M AH1 N D EY2", "tuesday": "T UW1 Z D EY2",
+    "wednesday": "W EH1 N Z D EY2", "thursday": "TH ER1 Z D EY2",
+    "friday": "F R AY1 D EY2", "saturday": "S AE1 T ER0 D EY2",
+    "sunday": "S AH1 N D EY2", "yesterday": "Y EH1 S T ER0 D EY2",
+    "tomorrow": "T AH0 M AA1 R OW2", "tonight": "T AH0 N AY1 T",
+    "evening": "IY1 V N IH0 NG", "afternoon": "AE2 F T ER0 N UW1 N",
+    "breakfast": "B R EH1 K F AH0 S T", "dinner": "D IH1 N ER0",
+    "kitchen": "K IH1 CH AH0 N", "garden": "G AA1 R D AH0 N",
+    "window": "W IH1 N D OW0", "yellow": "Y EH1 L OW0",
+    "shadow": "SH AE1 D OW0", "follow": "F AA1 L OW0",
+    "swallow": "S W AA1 L OW0", "narrow": "N EH1 R OW0",
+    "arrow": "EH1 R OW0", "borrow": "B AA1 R OW0",
+    "pillow": "P IH1 L OW0", "elbow": "EH1 L B OW2",
+    "hollow": "HH AA1 L OW0", "fellow": "F EH1 L OW0",
+    "used": "Y UW1 Z D", "using": "Y UW1 Z IH0 NG",
+    "useful": "Y UW1 S F AH0 L", "useless": "Y UW1 S L AH0 S",
+    "usual": "Y UW1 ZH AH0 W AH0 L", "casual": "K AE1 ZH AH0 W AH0 L",
+    "visual": "V IH1 ZH AH0 W AH0 L", "issue": "IH1 SH UW0",
+    "tissue": "T IH1 SH UW0", "pressure": "P R EH1 SH ER0",
+    "vision": "V IH1 ZH AH0 N", "decision": "D IH0 S IH1 ZH AH0 N",
+    "division": "D IH0 V IH1 ZH AH0 N", "occasion": "AH0 K EY1 ZH AH0 N",
+    "version": "V ER1 ZH AH0 N", "student": "S T UW1 D AH0 N T", "students": "S T UW1 D AH0 N T S",
+    "studio": "S T UW1 D IY0 OW2", "study": "S T AH1 D IY0",
+    "super": "S UW1 P ER0", "supper": "S AH1 P ER0",
+    "summer": "S AH1 M ER0", "winter": "W IH1 N T ER0",
+    "autumn": "AO1 T AH0 M", "spring": "S P R IH1 NG",
+    "season": "S IY1 Z AH0 N", "reason": "R IY1 Z AH0 N",
+    "person": "P ER1 S AH0 N", "parent": "P EH1 R AH0 N T",
+    "parents": "P EH1 R AH0 N T S", "moment": "M OW1 M AH0 N T",
+    "movement": "M UW1 V M AH0 N T", "government": "G AH1 V ER0 N M AH0 N T",
+    "different": "D IH1 F ER0 AH0 N T", "difference": "D IH1 F ER0 AH0 N S",
+    "sentence": "S EH1 N T AH0 N S", "silence": "S AY1 L AH0 N S",
+    "distance": "D IH1 S T AH0 N S",
+    "instance": "IH1 N S T AH0 N S", "second": "S EH1 K AH0 N D",
+    "seconds": "S EH1 K AH0 N D Z", "record": "R EH1 K ER0 D",
+    "modern": "M AA1 D ER0 N", "model": "M AA1 D AH0 L",
+    "level": "L EH1 V AH0 L", "travel": "T R AE1 V AH0 L",
+    "eleven": "IH0 L EH1 V AH0 N",
+    "twelve": "T W EH1 L V", "thousand": "TH AW1 Z AH0 N D",
+    "million": "M IH1 L Y AH0 N", "billion": "B IH1 L Y AH0 N",
+    "onion": "AH1 N Y AH0 N", "union": "Y UW1 N Y AH0 N",
+    "opinion": "AH0 P IH1 N Y AH0 N", "companion": "K AH0 M P AE1 N Y AH0 N",
+    "behavior": "B IH0 HH EY1 V Y ER0", "familiar": "F AH0 M IH1 L Y ER0",
+    "area": "EH1 R IY0 AH0", "camera": "K AE1 M ER0 AH0",
+    "extra": "EH1 K S T R AH0", "sofa": "S OW1 F AH0",
+    "zebra": "Z IY1 B R AH0", "pizza": "P IY1 T S AH0",
+    "banana": "B AH0 N AE1 N AH0", "umbrella": "AH0 M B R EH1 L AH0",
+    "across": "AH0 K R AO1 S", "against": "AH0 G EH1 N S T",
+    "ahead": "AH0 HH EH1 D", "alone": "AH0 L OW1 N",
+    "along": "AH0 L AO1 NG", "already": "AO0 L R EH1 D IY0",
+    "always": "AO1 L W EY2 Z",
+    "become": "B IH0 K AH1 M", "because": "B IH0 K AO1 Z",
+    "before": "B IH0 F AO1 R", "begin": "B IH0 G IH1 N",
+    "behind": "B IH0 HH AY1 N D", "believe": "B IH0 L IY1 V",
+    "below": "B IH0 L OW1", "beside": "B IH0 S AY1 D",
+    "between": "B IH0 T W IY1 N", "beyond": "B IH0 Y AA1 N D",
+    "toward": "T AH0 W AO1 R D", "receive": "R IH0 S IY1 V", "ceiling": "S IY1 L IH0 NG",
+    "field": "F IY1 L D", "piece": "P IY1 S", "niece": "N IY1 S",
+    "chief": "CH IY1 F", "brief": "B R IY1 F", "thief": "TH IY1 F",
+    "view": "V Y UW1",
+    "juice": "JH UW1 S", "fruit": "F R UW1 T", "suit": "S UW1 T",
+    "build": "B IH1 L D", "biscuit": "B IH1 S K AH0 T",
+    "circuit": "S ER1 K AH0 T", })
+
 # ---------------------------------------------------------------------------
 # NRL-style letter-to-sound rules
 # ---------------------------------------------------------------------------
@@ -320,7 +507,9 @@ LEXICON: Dict[str, str] = {
 #   ' '  word boundary; letters match themselves.
 # First matching rule wins; rules are grouped by the first letter of `letters`.
 
-_VOWELS = "aeiou"
+# NRL treats y as a vowel in context classes ('#'); without it, final-e
+# silencing after y-nucleus syllables (st[y]le, c[y]cle) never fires
+_VOWELS = "aeiouy"
 _FRONT = "eiy"
 _VOICED = "bdvgjlmnrwz"
 _CONS = "bcdfghjklmnpqrstvwxz"
@@ -383,6 +572,7 @@ _add("""
  [both] =B OW1 TH
  [bus]#=B IH1 Z
 [buil]=B IH1 L
+[bb]=B
 [b]=B
 """)
 
@@ -397,6 +587,8 @@ _add("""
 [c]+=S
 [ck]=K
 [com]%=K AH1 M
+[cc]+=K S
+[cc]=K
 [c]=K
 """)
 
@@ -410,6 +602,8 @@ _add("""
  [doing]=D UW1 IH0 NG
  [dow]=D AW1
 [du]a=JH UW0
+[dge]=JH
+[dd]=D
 [d]=D
 """)
 
@@ -420,6 +614,9 @@ _add("""
 #[ed] =D
 #:[e]d =
 [ev]er=EH1 V
+#:^[en] =AH0 N
+#:[ent] =AH0 N T
+#:^[el] =AH0 L
 [e]^%=IY1
 [eri]#=IY1 R IY0
 [eri]=EH1 R IH0
@@ -453,6 +650,7 @@ _add("""
 
 _add("""
 [ful]=F UH0 L
+[ff]=F
 [f]=F
 """)
 
@@ -482,7 +680,8 @@ _add("""
 _add("""
  [in]=IH0 N
  [i] =AY1
-[in]d=AY1 N
+[ies] =AY1 Z
+ :[ind] =AY1 N D
 [ier]=IY0 ER0
 #:r[ied] =IY0 D
 [ied] =AY1 D
@@ -529,6 +728,8 @@ l[l]=
 
 _add("""
 [mov]=M UW1 V
+[mb] =M
+[mm]=M
 [m]=M
 """)
 
@@ -540,6 +741,7 @@ e[ng]+=N JH
 [ng]=NG
 [nk]=NG K
  [now] =N AW1
+[nn]=N
 [n]=N
 """)
 
@@ -599,17 +801,20 @@ _add("""
 [peop]=P IY1 P
 [pow]=P AW1
 [put] =P UH1 T
+[pp]=P
 [p]=P
 """)
 
 _add("""
+[quare]=K W EH1 R
 [quar]=K W AO1 R
 [qu]=K W
 [q]=K
 """)
 
 _add("""
- [re]^#=R IY0
+ [re]^#=R IH0
+[rr]=R
 [r]=R
 """)
 
@@ -664,6 +869,8 @@ s[ti]#n=CH
 [tur]#=CH ER0
 [tu]a=CH UW0
  [two]=T UW1
+ [tele]=T EH1 L AH0
+[tt]=T
 [t]=T
 """)
 
@@ -725,6 +932,7 @@ _add("""
 """)
 
 _add("""
+[zz]=Z
 [z]=Z
 """)
 
@@ -804,7 +1012,9 @@ def _match_right(ctx: str, word: str, pos: int) -> bool:
             i += 1
         elif c == "%":
             rest = word[i:]
-            if not re.match(r"^(ing|e[rd]?|es|ely)", rest):
+            # suffix must reach the END of the word (a bare re.match let
+            # "e" fire mid-word, e.g. pi[e]ce / t[e]lephone -> wrong vowels)
+            if not re.fullmatch(r"ing|ings|ely|e[rd]?|ers|es|est", rest):
                 return False
             return True  # '%' is always terminal in our rules
         elif c == " ":
@@ -842,18 +1052,91 @@ def letters_to_arpabet(word: str) -> List[str]:
     return out
 
 
+def _one_primary_stress(phones: List[str]) -> List[str]:
+    """Normalize rule-engine stress to English-like word stress.
+
+    The NRL rules mark every heavy vowel with primary stress; real words
+    carry exactly one primary. Keep the FIRST primary (English strongly
+    prefers early stress), demote later primaries to unstressed in common
+    unstressed codas (-ing, -ow, -er, -ic style endings) or secondary
+    elsewhere, and promote the first vowel when the rules produced no
+    primary at all (e.g. monosyllables whose vowel rule was unstressed)."""
+    out = list(phones)
+    vid = [i for i, p in enumerate(out) if p and p[-1].isdigit()]
+    if not vid:
+        return out
+    prim = [i for i in vid if out[i].endswith("1")]
+    if not prim:
+        i = vid[0]
+        out[i] = out[i][:-1] + "1"
+        return out
+    unstressed_codas = {"NG", "Z", "S", "D", "K"}
+    for i in prim[1:]:
+        is_last_vowel = i == vid[-1]
+        coda = [p.rstrip("012") for p in out[i + 1:]]
+        if is_last_vowel and all(c in unstressed_codas for c in coda):
+            out[i] = out[i][:-1] + "0"
+        else:
+            out[i] = out[i][:-1] + "2"
+    return out
+
+
+def _rule_phones(word: str) -> List[str]:
+    return _one_primary_stress(letters_to_arpabet(word))
+
+
+def _stem_phones(stem: str, allow_rules: bool) -> Optional[List[str]]:
+    """Phones for a morphological stem: lexicon first; optionally the rule
+    engine when the stem is word-shaped (>=3 letters with a vowel nucleus)."""
+    if stem in LEXICON:
+        return LEXICON[stem].split()
+    if allow_rules and len(stem) >= 3 and any(c in "aeiouy" for c in stem):
+        return _rule_phones(stem)
+    return None
+
+
 def word_to_arpabet(word: str) -> List[str]:
     if word in LEXICON:
         return LEXICON[word].split()
-    # simple morphology: plural / past / progressive built on lexicon stems
-    for suffix, tail_fn in _MORPH:
-        if word.endswith(suffix) and word[: -len(suffix)] in LEXICON:
-            stem = LEXICON[word[: -len(suffix)]].split()
-            return stem + tail_fn(stem)
-    phones = letters_to_arpabet(word)
-    if phones and not any(p[-1].isdigit() for p in phones):
-        phones = phones  # rules always carry stress on vowels
-    return phones
+    # morphology: inflectional suffixes layered on a resolvable stem —
+    # running->run+ing (de-doubling), makes->make+s (e-restore),
+    # carried->carry+ed (i->y), boxes->box+es. A rule-derived stem is far
+    # more reliable than running the rules over the inflected surface
+    # (suffix vowels otherwise grab stress and break silent-e contexts).
+    res = _morph_phones(word)
+    if res is not None:
+        return res
+    return _rule_phones(word)
+
+
+def _morph_phones(word: str) -> Optional[List[str]]:
+    for suffix, tail_fn, allow_rules, guard in _MORPH:
+        if not word.endswith(suffix) or len(word) - len(suffix) < 2:
+            continue
+        if guard is not None and not guard(word):
+            continue
+        base = word[: -len(suffix)]
+        if suffix in ("ies", "ied"):
+            cands = [base + "y"]              # cities -> city, carried -> carry
+            for allow in (False, True) if allow_rules else (False,):
+                ph = _stem_phones(cands[0], allow)
+                if ph:
+                    return ph + tail_fn(ph)
+            continue
+        cands = [base]
+        if len(base) >= 3 and base[-1] == base[-2] and base[-1] in _CONS:
+            cands.append(base[:-1])           # running -> run
+        if not base.endswith("e"):
+            cands.append(base + "e")          # used -> use, makes -> make
+        if base.endswith("i"):
+            cands.append(base[:-1] + "y")     # carried -> carry
+        # lexicon stems first (any candidate), then rule-derived stems
+        for allow in (False, True) if allow_rules else (False,):
+            for stem in cands:
+                ph = _stem_phones(stem, allow)
+                if ph:
+                    return ph + tail_fn(ph)
+    return None
 
 
 def _plural_tail(stem: List[str]) -> List[str]:
@@ -875,10 +1158,29 @@ def _past_tail(stem: List[str]) -> List[str]:
     return ["D"]
 
 
-_MORPH: List[Tuple[str, object]] = [
-    ("s", _plural_tail),
-    ("ed", _past_tail),
-    ("ing", lambda stem: ["IH0", "NG"]),
+def _sibilant_es(word: str) -> bool:
+    return bool(re.search(r"(s|z|x|ch|sh)es$", word))
+
+
+def _plain_s(word: str) -> bool:
+    # not a plural/3sg marker after these endings (glass, bus, this, virus)
+    return not word.endswith(("ss", "us", "is", "es"))
+
+
+# (suffix, tail from stem phones, allow rule-derived stems, guard(word))
+_MORPH: List[Tuple[str, object, bool, object]] = [
+    ("ings", lambda stem: ["IH0", "NG", "Z"], True, None),
+    ("ing", lambda stem: ["IH0", "NG"], True, None),
+    ("ies", lambda stem: ["Z"], True, None),
+    ("ied", lambda stem: ["D"], True, None),
+    ("ed", _past_tail, True, None),
+    ("es", lambda stem: ["IH0", "Z"], True, _sibilant_es),
+    ("ly", lambda stem: ["L", "IY0"], False, None),
+    ("ness", lambda stem: ["N", "AH0", "S"], False, None),
+    ("ment", lambda stem: ["M", "AH0", "N", "T"], False, None),
+    ("ful", lambda stem: ["F", "AH0", "L"], False, None),
+    ("less", lambda stem: ["L", "AH0", "S"], False, None),
+    ("s", _plural_tail, True, _plain_s),
 ]
 
 # ---------------------------------------------------------------------------
