@@ -276,6 +276,90 @@ def main():
     except Exception as e:
         print(f"mb_istft bench skipped: {e}", file=sys.stderr)
 
+    # Tacotron family (VERDICT r4 next-#5): the OTHER model stack's serving
+    # number — AR decoder scan + HiFi-GAN vocoder fused in ONE executable,
+    # through the production TacotronSynthesizer program cache
+    # (infer/taco_serving.py). Reference surface: tacotron/inference.py with
+    # its implied max_steps=400 AR cap (inference.py:156).
+    taco_rtf = None
+    try:
+        from torch_tts_tpu.core.config import load_tacotron_config
+        from torch_tts_tpu.infer.taco_serving import TacotronSynthesizer
+        from torch_tts_tpu.infer.vocoder import Vocoder
+        from torch_tts_tpu.models.tacotron import build_tacotron
+        from torch_tts_tpu.ops.hifigan import Generator
+
+        import os as _os
+
+        tcfg = load_tacotron_config(_os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "configs", "tacotron-ljspeech.yaml"))
+        tmodel = build_tacotron(tcfg)
+        t_rngs = {"params": jax.random.PRNGKey(0),
+                  "noise": jax.random.PRNGKey(1),
+                  "dropout": jax.random.PRNGKey(2)}
+        tshapes = jax.eval_shape(
+            lambda: tmodel.init(
+                t_rngs, jnp.zeros((1, 8), jnp.int32),
+                jnp.asarray([8], jnp.int32),
+                jnp.zeros((1, 2 * tcfg.model.r, tcfg.audio.num_mels)),
+                train=True, deterministic=False,
+            )
+        )
+        fill = lambda s: (
+            jnp.asarray(0.02 * host_rng.standard_normal(s.shape).astype("float32"))
+            if jnp.issubdtype(s.dtype, jnp.floating)
+            else jnp.zeros(s.shape, s.dtype)
+        )
+        tvars = jax.tree.map(fill, tshapes)
+        gen_kwargs = dict(
+            resblock="1", resblock_kernel_sizes=(3, 7, 11),
+            resblock_dilation_sizes=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+            upsample_rates=(8, 8, 2, 2), upsample_initial_channel=512,
+            upsample_kernel_sizes=(16, 16, 4, 4),
+        )
+        vshapes = jax.eval_shape(
+            lambda: Generator(**gen_kwargs).init(
+                {"params": jax.random.PRNGKey(5)},
+                jnp.zeros((1, 16, tcfg.audio.num_mels)),
+            )
+        )
+        vparams = jax.tree.map(fill, vshapes)["params"]
+        voc = Vocoder(params=vparams, gen_kwargs=gen_kwargs,
+                      sample_rate=tcfg.audio.sample_rate,
+                      num_mels=tcfg.audio.num_mels,
+                      mel_shift=-0.911, mel_scale=0.0869)
+        tsynth = TacotronSynthesizer(tcfg, tvars, vocoder=voc)
+        PAD_TEXT, MAX_STEPS = 128, 400
+        tfn = tsynth._infer_fn(1, PAD_TEXT, MAX_STEPS)
+        c = jnp.asarray(rng.integers(3, 30, (1, PAD_TEXT)), jnp.int32)
+        cl = jnp.asarray([PAD_TEXT], jnp.int32)
+        t0 = time.perf_counter()
+        out = tfn(tvars, c, cl, jax.random.PRNGKey(0))
+        stop = np.asarray(out["stop_lengths"])
+        print(f"taco compile+first: {time.perf_counter()-t0:.1f}s "
+              f"(stop_lengths={stop.tolist()})", file=sys.stderr)
+        # random weights never trip the stop threshold, so every call decodes
+        # the full 400-step cap — the conservative bound the reference's CLI
+        # pays on failure too. Per-call sync = the production dispatch sync
+        # (the tiny stop_lengths fetch, taco_serving._dispatch_group).
+        n_taco = 10
+        t0 = time.perf_counter()
+        for i in range(n_taco):
+            out = tfn(tvars, c, cl, jax.random.PRNGKey(10 + i))
+            np.asarray(out["stop_lengths"])
+        tdt = time.perf_counter() - t0
+        taco_audio_s = (MAX_STEPS * tcfg.model.r * tcfg.audio.hop_length
+                        / tcfg.audio.sample_rate)
+        taco_rtf = n_taco * taco_audio_s / tdt
+        print(
+            f"tacotron AR+vocoder fused: {tdt/n_taco*1e3:.1f} ms/call for "
+            f"{taco_audio_s:.2f}s audio ({taco_rtf:.0f}x RT per chip)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"tacotron bench skipped: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -287,6 +371,7 @@ def main():
                 "mfu": round(mfu, 4) if mfu is not None else None,
                 "batched_rtf_b8": round(batched_rtf, 2),
                 "mb_istft_rtf": round(mb_rtf, 2) if mb_rtf else None,
+                "tacotron_rtf": round(taco_rtf, 2) if taco_rtf else None,
             }
         )
     )

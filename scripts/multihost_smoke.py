@@ -94,35 +94,18 @@ def _bootstrap(pid: int) -> None:
     print(f"pid={pid}: gloo cliques up", flush=True)
 
 
-def worker(pid: int) -> None:
-    _bootstrap(pid)
-    import jax
-    import jax.numpy as jnp
+def _global_step_inputs():
+    """The (cfg, model-ctor args, global batch) both modes share. Seeded
+    identically so the 2-process run and the single-process 8-device run
+    compute the SAME global step — the allreduce-equivalence oracle."""
     import numpy as np
 
     import __graft_entry__ as ge
-    from torch_tts_tpu.models.vits2 import (
-        MultiPeriodDiscriminator,
-        SynthesizerTrn,
-    )
-    from torch_tts_tpu.parallel import make_mesh, replicate, shard_batch
-    from torch_tts_tpu.train.vits2_train import (
-        create_train_state,
-        make_train_step,
-    )
 
     cfg = ge._tiny_cfg()
     hop = cfg.audio.hop_length
-    model = SynthesizerTrn(
-        n_vocab=30, spec_channels=cfg.posterior_channels,
-        segment_frames=cfg.segment_frames, cfg=cfg.model,
-    )
-    mpd = MultiPeriodDiscriminator(periods=(2, 3))
-
-    # global batch of 8; each process holds ONLY its rank-interleaved half
-    # (ranks own devices [pid*4, pid*4+4) -> global rows [pid*4, pid*4+4))
     B, T_x, T_y = N_PROCS * DEVICES_PER_PROC, 9, 24
-    rng = np.random.default_rng(0)  # same seed: the GLOBAL batch is shared
+    rng = np.random.default_rng(0)
     gbatch = {
         "x": rng.integers(1, 30, (B, T_x)).astype(np.int32),
         "x_lengths": np.full((B,), T_x, np.int32),
@@ -133,6 +116,90 @@ def worker(pid: int) -> None:
         "wav": (rng.standard_normal((B, T_y * hop, 1)) * 0.1).astype(np.float32),
         "wav_lengths": np.full((B,), T_y * hop, np.int32),
     }
+    return cfg, gbatch
+
+
+def worker_single() -> None:
+    """Single-process 8-device oracle: the identical global step with the
+    allreduce running inside ONE process (XLA partitioner only, no gloo).
+    main() asserts its loss matches the 2-process run — the equivalence
+    that makes the multi-host path more than a rendezvous smoke
+    (VERDICT r4 next-#7)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f
+        for f in os.environ.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(
+        f"--xla_force_host_platform_device_count={N_PROCS * DEVICES_PER_PROC}"
+    )
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torch_tts_tpu.models.vits2 import (
+        MultiPeriodDiscriminator,
+        SynthesizerTrn,
+    )
+    from torch_tts_tpu.parallel import make_mesh, replicate, shard_batch
+    from torch_tts_tpu.train.vits2_train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg, gbatch = _global_step_inputs()
+    model = SynthesizerTrn(
+        n_vocab=30, spec_channels=cfg.posterior_channels,
+        segment_frames=cfg.segment_frames, cfg=cfg.model,
+    )
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    state, tx = create_train_state(
+        cfg, model, mpd,
+        sample_batch={k: jnp.asarray(v) for k, v in gbatch.items()},
+    )
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    batch = shard_batch(gbatch, mesh)
+    step_fn = jax.jit(make_train_step(cfg, model, mpd, tx))
+    _new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    loss = float(jax.device_get(metrics["loss/g/total"]))
+    assert np.isfinite(loss)
+    print(f"RESULT pid=single loss={loss:.6f}", flush=True)
+
+
+def worker(pid: int) -> None:
+    _bootstrap(pid)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torch_tts_tpu.models.vits2 import (
+        MultiPeriodDiscriminator,
+        SynthesizerTrn,
+    )
+    from torch_tts_tpu.parallel import make_mesh, replicate, shard_batch
+    from torch_tts_tpu.train.vits2_train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    # global batch of 8 shared by seed; each process holds ONLY its half
+    # (ranks own devices [pid*4, pid*4+4) -> global rows [pid*4, pid*4+4))
+    cfg, gbatch = _global_step_inputs()
+    B = N_PROCS * DEVICES_PER_PROC
+    model = SynthesizerTrn(
+        n_vocab=30, spec_channels=cfg.posterior_channels,
+        segment_frames=cfg.segment_frames, cfg=cfg.model,
+    )
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
     lo, hi = pid * DEVICES_PER_PROC, (pid + 1) * DEVICES_PER_PROC
     local = {k: v[lo:hi] for k, v in gbatch.items()}
 
@@ -249,6 +316,31 @@ def main(mode: str = "step") -> None:
             raise SystemExit(f"worker {i} failed rc={p.returncode}")
     assert len(losses) == N_PROCS, f"missing results: {losses}\n{logs}"
     assert abs(losses[0] - losses[1]) < 1e-6, losses
+    if mode == "step":
+        # allreduce equivalence vs the single-process oracle: the SAME
+        # global step on one 8-device process (XLA partitioner collectives
+        # only, no gloo / no cross-process assembly) must produce the same
+        # loss — proving the multi-host path changes the communication
+        # substrate, not the math (VERDICT r4 next-#7).
+        sp = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "worker-single"],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        if sp.returncode != 0:
+            print(sp.stdout)
+            print(sp.stderr)
+            raise SystemExit(f"single-process oracle failed rc={sp.returncode}")
+        single = None
+        for line in sp.stdout.splitlines():
+            if line.startswith("RESULT"):
+                single = float(line.split("loss=")[1])
+        assert single is not None, sp.stdout
+        # fp32 reductions under different partitionings: allow float jitter
+        assert abs(single - losses[0]) <= 1e-4 * max(1.0, abs(single)), (
+            single, losses,
+        )
+        print(f"single-process oracle agrees: loss={single:.6f} "
+              f"(2-process: {losses[0]:.6f})")
     if mode == "trainer":
         import glob
 
@@ -266,6 +358,8 @@ def main(mode: str = "step") -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "worker-step":
         worker(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "worker-single":
+        worker_single()
     elif len(sys.argv) > 1 and sys.argv[1] == "worker-trainer":
         worker_trainer(int(sys.argv[2]), sys.argv[3], sys.argv[4])
     elif len(sys.argv) > 1 and sys.argv[1] == "worker":  # back-compat

@@ -148,6 +148,7 @@ class VITS2Trainer:
 
         self.rng = jax.random.PRNGKey(cfg.train.seed)
         self._eval_step = None  # jitted lazily on first evaluate()
+        self._eval_infer = None  # jitted eval-time inference (see evaluate)
 
     def _make_batch(self, pad_frames: int, idxs):
         samples = [self.train_dataset[i] for i in idxs]
@@ -353,14 +354,25 @@ class VITS2Trainer:
         logger.info("eval step %d: %s", step,
                     {k: round(v, 4) for k, v in eval_scalars.items()})
         max_frames = self.eval_max_frames
-        audio, attn, y_mask, _aux, y_lengths = self.model.apply(
-            {"params": params},
+        # jitted + cached: an unjitted full-decoder apply is hundreds of
+        # tunnel round-trips (~10+ min per eval through the dev tunnel —
+        # observed stalling the round-5 quality run); one compiled program
+        # reuses across evals (shapes are fixed by pad_text/eval_max_frames)
+        if self._eval_infer is None:
+            def _infer(params, x, x_lengths, key):
+                return self.model.apply(
+                    {"params": params}, x, x_lengths,
+                    noise_scale=0.667, noise_scale_w=0.8, length_scale=1.0,
+                    max_frames=max_frames,
+                    method=SynthesizerTrn.infer,
+                    rngs={"noise": key, "dropout": jax.random.PRNGKey(0)},
+                )
+            self._eval_infer = jax.jit(_infer)
+        audio, attn, y_mask, _aux, y_lengths = self._eval_infer(
+            params,
             jnp.asarray(sample["x"]),
             jnp.asarray(sample["x_lengths"]),
-            noise_scale=0.667, noise_scale_w=0.8, length_scale=1.0,
-            max_frames=max_frames,
-            method=SynthesizerTrn.infer,
-            rngs={"noise": jax.random.PRNGKey(step), "dropout": jax.random.PRNGKey(0)},
+            jax.random.PRNGKey(step),
         )
         audio = np.asarray(audio)
         y_lengths = np.asarray(y_lengths)
