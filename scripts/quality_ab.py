@@ -77,12 +77,13 @@ def train_one(decoder: str, args, cfg0, root):
     run_dir = os.path.join(args.workdir, f"run_{decoder}")
     trainer = VITS2Trainer(
         cfg, run_dir, ds, eval_dataset=None,
-        bucket_boundaries=[16, 128], pad_text_to=48, eval_max_frames=128,
+        bucket_boundaries=list(args.bucket_boundaries),
+        pad_text_to=args.pad_text, eval_max_frames=args.pad_frames,
     )
     eval_step = jax.jit(make_eval_step(cfg, trainer.model))
     eval_batch = collate_batch(
         [eval_ds[i] for i in range(len(eval_ds))],
-        pad_text_to=trainer.pad_text, pad_frames_to=128,
+        pad_text_to=trainer.pad_text, pad_frames_to=args.pad_frames,
     )
     eval_batch = {k: jnp.asarray(v) for k, v in eval_batch.items()}
 
@@ -132,7 +133,8 @@ def train_one(decoder: str, args, cfg0, root):
         item = eval_ds[i]
         x = jnp.asarray(item["x"][None], jnp.int32)
         xl = jnp.asarray([len(item["x"])], jnp.int32)
-        pad = 48 - x.shape[1] % 48 if x.shape[1] % 48 else 0
+        w = args.pad_text
+        pad = w - x.shape[1] % w if x.shape[1] % w else 0
         x = jnp.pad(x, ((0, 0), (0, pad)))  # bounded compile variants
         audio, _attn, _ym, _aux, y_len = synth(
             params, x, xl, jax.random.PRNGKey(100 + i)
@@ -159,6 +161,10 @@ def main():
     p.add_argument("--eval-every", type=int, default=200)
     p.add_argument("--n-eval", type=int, default=6)
     p.add_argument("--workdir", default="/tmp/tts_qab")
+    p.add_argument("--corpus", choices=("smoke", "rich"), default="smoke",
+                   help="smoke: train_smoke's sine-tone corpus (round-4 "
+                        "artifact); rich: scripts/synth_corpus.py's "
+                        "speech-shaped corpus (round-5 long-horizon gate)")
     args = p.parse_args()
 
     from torch_tts_tpu.core.config import load_vits2_config
@@ -167,7 +173,24 @@ def main():
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "configs", "vits2-ljspeech.yaml")
     )
-    root = make_corpus(os.path.join(args.workdir, "data"), n=30)
+    if args.corpus == "rich":
+        from synth_corpus import build as build_rich
+
+        root = os.path.join(args.workdir, "data_rich")
+        train_fl, _ = build_rich(root, n_train=120, n_eval=0)
+        # expose as metadata.csv so from_ljspeech ingests it
+        with open(train_fl) as f, \
+                open(os.path.join(root, "metadata.csv"), "w") as out_f:
+            for line in f:
+                path, text = line.rstrip("\n").split("|")
+                uid = os.path.splitext(os.path.basename(path))[0]
+                out_f.write(f"{uid}|{text}|{text}\n")
+        args.bucket_boundaries = (32, 160)
+        args.pad_text, args.pad_frames = 112, 160
+    else:
+        root = make_corpus(os.path.join(args.workdir, "data"), n=30)
+        args.bucket_boundaries = (16, 128)
+        args.pad_text, args.pad_frames = 48, 128
 
     out = {}
     for decoder in ("hifigan", "mb_istft"):
