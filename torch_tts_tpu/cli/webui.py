@@ -313,6 +313,13 @@ def main():
     p.add_argument("--taco-run-dir", default=None)
     p.add_argument("--taco-vocoder", default=None,
                    help="vocoder artifact for /tts_taco (else Griffin-Lim)")
+    p.add_argument("--fetch-timeout", type=float, default=None,
+                   help="per-fetch watchdog deadline in seconds: a wedged "
+                        "device->host fetch (half-down tunnel) fails THAT "
+                        "request with FetchTimeoutError instead of hanging "
+                        "the serving loop; counted in /metrics as "
+                        "fetch_timeouts_total (default: unbounded, or "
+                        "TTS_FETCH_TIMEOUT_S)")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -327,12 +334,14 @@ def main():
         taco_synth = TacotronSynthesizer.from_run_dir(
             args.taco_config, args.taco_run_dir,
             vocoder_path=args.taco_vocoder,
+            fetch_timeout_s=args.fetch_timeout,
         )
         if args.warmup:
             taco_synth.warmup()
             taco_synth.warmup_streaming()
 
-    synth = Synthesizer.from_run_dir(args.config, args.model_dir)
+    synth = Synthesizer.from_run_dir(args.config, args.model_dir,
+                                     fetch_timeout_s=args.fetch_timeout)
     if args.warmup:
         n = synth.warmup()
         ns = synth.warmup_streaming()
