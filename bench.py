@@ -328,7 +328,10 @@ def main():
         voc = Vocoder(params=vparams, gen_kwargs=gen_kwargs,
                       sample_rate=tcfg.audio.sample_rate,
                       num_mels=tcfg.audio.num_mels,
-                      mel_shift=-0.911, mel_scale=0.0869)
+                      # canonical reference renorm (inference.py:30:
+                      # (y - 0.911)/0.0869) — irrelevant for timing, but
+                      # keep the snippet copy-safe for real checkpoints
+                      mel_shift=0.911, mel_scale=0.0869)
         tsynth = TacotronSynthesizer(tcfg, tvars, vocoder=voc)
         PAD_TEXT, MAX_STEPS = 128, 400
         tfn = tsynth._infer_fn(1, PAD_TEXT, MAX_STEPS)

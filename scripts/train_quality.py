@@ -105,9 +105,12 @@ def main():
     out_partial = args.out + ".partial"
 
     def milestone(step):
-        params = jax.device_get(trainer.state.params_g)
+        # device-resident params straight into the jitted eval step — a
+        # device_get here would round-trip the full generator through the
+        # tunnel twice per milestone
         m = {k: float(v) for k, v in jax.device_get(
-            eval_step(params, eval_batch, jax.random.PRNGKey(0))).items()}
+            eval_step(trainer.state.params_g, eval_batch,
+                      jax.random.PRNGKey(0))).items()}
         m["step"] = step
         m["wall_s"] = round(time.perf_counter() - t_start, 1)
         curves.append(m)
@@ -130,7 +133,7 @@ def main():
     # final free-running synthesis vs ground truth on the eval set
     from torch_tts_tpu.audio.mel import mel_spectrogram_cfg
 
-    params = jax.device_get(trainer.state.params_g)
+    params = trainer.state.params_g  # device-resident; fetched once at save
     hop = cfg.audio.hop_length
 
     @jax.jit
@@ -195,7 +198,7 @@ def main():
 
     out = os.path.join(REPO, "artifacts", "entry_params.msgpack")
     with open(out, "wb") as f:
-        f.write(serialization.to_bytes(params))
+        f.write(serialization.to_bytes(jax.device_get(params)))
     print(f"saved trained generator -> {out}")
 
 

@@ -173,3 +173,15 @@ def test_g2p_accuracy_vs_cmudict_sample():
     assert acc >= 0.97 and per <= 0.01, stats
     acc, acc_ns, per = stats["rules"]
     assert acc_ns >= 0.90 and per <= 0.03, stats
+
+
+def test_g2p_morphology_edge_cases():
+    """Round-5 review regressions, pinned: morphology must not invent
+    fake silent-e stems for vowel-less bases (bring -/-> br+e), and the
+    -s guard must not block e-final lexicon stems' plurals (machines)."""
+    assert word_to_arpabet("bring") == ["B", "R", "IH1", "NG"]
+    assert word_to_arpabet("string") == ["S", "T", "R", "IH1", "NG"]
+    assert word_to_arpabet("machines") == ["M", "AH0", "SH", "IY1", "N", "Z"]
+    assert word_to_arpabet("goes") == ["G", "OW1", "Z"]
+    assert word_to_arpabet("makes") == ["M", "EY1", "K", "S"]
+    assert word_to_arpabet("glass")[-1] == "S"  # -ss never strips

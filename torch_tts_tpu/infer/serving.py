@@ -103,6 +103,14 @@ def fetch_with_deadline(arr, timeout_s: Optional[float]):
     return val
 
 
+def resolve_fetch_timeout(fetch_timeout_s: Optional[float]) -> Optional[float]:
+    """ctor arg wins; else the TTS_FETCH_TIMEOUT_S env var; else unbounded.
+    Shared by both model families' synthesizers."""
+    if fetch_timeout_s is None and os.environ.get("TTS_FETCH_TIMEOUT_S"):
+        return float(os.environ["TTS_FETCH_TIMEOUT_S"])
+    return fetch_timeout_s
+
+
 def bucket_for(buckets: Sequence[Tuple[int, int]], n_tokens: int) -> Tuple[int, int]:
     """Smallest (max_len, max_out) bucket admitting n_tokens; raises when the
     text exceeds every bucket (callers split long texts first). Shared by the
@@ -211,9 +219,7 @@ class Synthesizer:
         self.slice_quanta = int(slice_quanta)
         # per-fetch watchdog deadline (None = unbounded). Settable via env
         # for the CLIs/webui without threading a flag through every caller.
-        if fetch_timeout_s is None and os.environ.get("TTS_FETCH_TIMEOUT_S"):
-            fetch_timeout_s = float(os.environ["TTS_FETCH_TIMEOUT_S"])
-        self.fetch_timeout_s = fetch_timeout_s
+        self.fetch_timeout_s = resolve_fetch_timeout(fetch_timeout_s)
         self.params = params
         self.buckets = sorted(buckets)
         self.batch_tiers = sorted(batch_tiers)

@@ -82,11 +82,9 @@ class TacotronSynthesizer:
         self._stream_cache: dict = {}  # streaming program triples per bucket
         # per-fetch watchdog (half-down tunnel protection; see
         # serving.fetch_with_deadline). None = unbounded.
-        import os
+        from torch_tts_tpu.infer.serving import resolve_fetch_timeout
 
-        if fetch_timeout_s is None and os.environ.get("TTS_FETCH_TIMEOUT_S"):
-            fetch_timeout_s = float(os.environ["TTS_FETCH_TIMEOUT_S"])
-        self.fetch_timeout_s = fetch_timeout_s
+        self.fetch_timeout_s = resolve_fetch_timeout(fetch_timeout_s)
 
     def _fetch(self, arr):
         from torch_tts_tpu.infer.serving import fetch_with_deadline

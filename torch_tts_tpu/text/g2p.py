@@ -1126,8 +1126,11 @@ def _morph_phones(word: str) -> Optional[List[str]]:
         cands = [base]
         if len(base) >= 3 and base[-1] == base[-2] and base[-1] in _CONS:
             cands.append(base[:-1])           # running -> run
-        if not base.endswith("e"):
-            cands.append(base + "e")          # used -> use, makes -> make
+        if not base.endswith("e") and any(c in "aeiouy" for c in base[:-1]):
+            # silent-e restore (used -> use, makes -> make) — only when the
+            # base already has a vowel nucleus; otherwise this invents fake
+            # stems for vowel-less bases (bring -/-> br+e='bre')
+            cands.append(base + "e")
         if base.endswith("i"):
             cands.append(base[:-1] + "y")     # carried -> carry
         # lexicon stems first (any candidate), then rule-derived stems
@@ -1163,8 +1166,10 @@ def _sibilant_es(word: str) -> bool:
 
 
 def _plain_s(word: str) -> bool:
-    # not a plural/3sg marker after these endings (glass, bus, this, virus)
-    return not word.endswith(("ss", "us", "is", "es"))
+    # not a plural/3sg marker after these endings (glass, bus, this);
+    # 'es' words reach here too (machines, goes) — the sibilant -es cases
+    # (boxes, glasses) were already taken by the _sibilant_es entry above
+    return not word.endswith(("ss", "us", "is"))
 
 
 # (suffix, tail from stem phones, allow rule-derived stems, guard(word))
