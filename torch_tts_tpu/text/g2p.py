@@ -494,7 +494,30 @@ LEXICON.update({
     "view": "V Y UW1",
     "juice": "JH UW1 S", "fruit": "F R UW1 T", "suit": "S UW1 T",
     "build": "B IH1 L D", "biscuit": "B IH1 S K AH0 T",
-    "circuit": "S ER1 K AH0 T", })
+    "circuit": "S ER1 K AH0 T",
+    # audited additions (rule engine measurably wrong on these; round 5)
+    "prove": "P R UW1 V", "none": "N AH1 N", "search": "S ER1 CH",
+    "womb": "W UW1 M", "tomb": "T UW1 M", "calf": "K AE1 F",
+    "aisle": "AY1 L", "bury": "B EH1 R IY0", "shoes": "SH UW1 Z",
+    "shoe": "SH UW1", "lose": "L UW1 Z", "leather": "L EH1 DH ER0",
+    "chemist": "K EH1 M IH0 S T",
+    "chaos": "K EY1 AA0 S", "soften": "S AO1 F AH0 N",
+    "sword": "S AO1 R D", "leopard": "L EH1 P ER0 D",
+    "jeopardy": "JH EH1 P ER0 D IY0",
+    "vegetable": "V EH1 JH T AH0 B AH0 L",
+    "restaurant": "R EH1 S T ER0 AA2 N T",
+    "chocolate": "CH AO1 K L AH0 T",
+    "interesting": "IH1 N T R AH0 S T IH0 NG",
+    "interest": "IH1 N T R AH0 S T",
+    "comfortable": "K AH1 M F ER0 T AH0 B AH0 L",
+    "comfort": "K AH1 M F ER0 T", "cushion": "K UH1 SH AH0 N",
+    "fashion": "F AE1 SH AH0 N", "delicious": "D IH0 L IH1 SH AH0 S",
+    "anxious": "AE1 NG K SH AH0 S", "anxiety": "AE0 NG Z AY1 AH0 T IY0",
+    "luxury": "L AH1 G ZH ER0 IY0", "exist": "IH0 G Z IH1 S T",
+    "exact": "IH0 G Z AE1 K T", "exactly": "IH0 G Z AE1 K T L IY0",
+    "examine": "IH0 G Z AE1 M AH0 N", "exam": "IH0 G Z AE1 M",
+    "taxi": "T AE1 K S IY0", "basket": "B AE1 S K AH0 T",
+})
 
 # ---------------------------------------------------------------------------
 # NRL-style letter-to-sound rules
@@ -1075,6 +1098,10 @@ def _one_primary_stress(phones: List[str]) -> List[str]:
         is_last_vowel = i == vid[-1]
         coda = [p.rstrip("012") for p in out[i + 1:]]
         if is_last_vowel and all(c in unstressed_codas for c in coda):
+            out[i] = out[i][:-1] + "0"
+        elif len(vid) <= 2:
+            # disyllables almost never carry secondary stress in English —
+            # the non-primary syllable is simply unstressed (basket, master)
             out[i] = out[i][:-1] + "0"
         else:
             out[i] = out[i][:-1] + "2"
