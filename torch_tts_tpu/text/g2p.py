@@ -517,6 +517,21 @@ LEXICON.update({
     "exact": "IH0 G Z AE1 K T", "exactly": "IH0 G Z AE1 K T L IY0",
     "examine": "IH0 G Z AE1 M AH0 N", "exam": "IH0 G Z AE1 M",
     "taxi": "T AE1 K S IY0", "basket": "B AE1 S K AH0 T",
+    "foreign": "F AO1 R AH0 N", "campaign": "K AE0 M P EY1 N",
+    "champagne": "SH AE0 M P EY1 N", "cologne": "K AH0 L OW1 N",
+    "nephew": "N EH1 F Y UW0", "meant": "M EH1 N T",
+    "lost": "L AO1 S T", "cost": "K AO1 S T", "drove": "D R OW1 V",
+    "stove": "S T OW1 V", "southern": "S AH1 DH ER0 N",
+    "guitar": "G IH0 T AA1 R", "magazine": "M AE1 G AH0 Z IY2 N",
+    "technique": "T EH0 K N IY1 K", "vehicle": "V IY1 IH0 K AH0 L",
+    "recipe": "R EH1 S AH0 P IY0", "cafe": "K AH0 F EY1",
+    "ballet": "B AE0 L EY1", "bouquet": "B OW0 K EY1",
+    "debris": "D AH0 B R IY1", "corps": "K AO1 R",
+    "chassis": "CH AE1 S IY0", "genre": "ZH AA1 N R AH0",
+    "entrepreneur": "AA2 N T R AH0 P R AH0 N ER1",
+    "amateur": "AE1 M AH0 CH ER2", "reward": "R IH0 W AO1 R D",
+    "bureau": "B Y UH1 R OW0", "plateau": "P L AE0 T OW1",
+    "ancient": "EY1 N SH AH0 N T",
 })
 
 # ---------------------------------------------------------------------------
@@ -580,6 +595,8 @@ _add("""
 [au]=AO1
 #:[al] =AH0 L
 #:[als] =AH0 L Z
+[ague] =EY1 G
+[acle] =AH0 K AH0 L
 [alk]=AO1 K
 [al]^=AO1 L
  :[able]=EY1 B AH0 L
@@ -659,6 +676,7 @@ _add("""
 [ee]=IY1
 [earn]=ER1 N
  [ear]^=ER1
+[eau]=OW1
 [ead]=EH1 D
 #:[ea] =IY0 AH0
 [ea]su=EH1
@@ -667,6 +685,7 @@ _add("""
 [ei]=IY1
  [eye]=AY1
 [ey]=IY0
+@[eu]=UW1
 [eu]=Y UW1
 [e]=EH1
 """)
@@ -678,6 +697,7 @@ _add("""
 """)
 
 _add("""
+ [gn]=N
 [giv]=G IH1 V
  [g]i^=G
 [ge]t=G EH1
@@ -705,6 +725,7 @@ _add("""
  [i] =AY1
 [ies] =AY1 Z
  :[ind] =AY1 N D
+[icle] =IH0 K AH0 L
 [ier]=IY0 ER0
 #:r[ied] =IY0 D
 [ied] =AY1 D
@@ -750,6 +771,7 @@ l[l]=
 """)
 
 _add("""
+ [mn]=N
 [mov]=M UW1 V
 [mb] =M
 [mm]=M
@@ -820,6 +842,9 @@ i[on]=AH0 N
 """)
 
 _add("""
+ [psych]=S AY2 K
+ [ps]=S
+ [pn]=N
 [ph]=F
 [peop]=P IY1 P
 [pow]=P AW1
@@ -921,6 +946,7 @@ _add("""
 """)
 
 _add("""
+#:[ward] =W ER0 D
  [were]=W ER1
 [wa]s=W AA1
 [wa]t=W AA1
